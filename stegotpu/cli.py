@@ -1,0 +1,210 @@
+"""Command-line interface: embed / extract / genkey / evaluate / capacity /
+fixtures / bench.
+
+Replaces the reference's hardcoded per-module ``__main__`` smoke drivers
+(reference: embed_process.py:155-217, extract_process.py:219-276,
+config_and_setup.py:241-276, evaluation.py:286-324) and mirrors the GUI's
+three modes (reference: app.py:166 embed/extract/genkey) with real flags.
+Defaults match the reference: delta=20, 10 AC coefficients, media/input and
+media/output path conventions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+from stegotpu import crypto
+from stegotpu.config import StegoConfig
+
+
+def _config_from_args(args) -> StegoConfig:
+    return StegoConfig(delta=args.delta, num_ac_coeffs=args.coeffs)
+
+
+def _add_qim_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--delta", type=int, default=20,
+                   help="QIM quantization step (default 20)")
+    p.add_argument("--coeffs", type=int, default=10,
+                   help="AC coefficients per 8x8 block, 1..63 (default 10)")
+
+
+def cmd_genkey(args) -> int:
+    priv_path = Path(args.private)
+    pub_path = Path(args.public)
+    if (priv_path.exists() or pub_path.exists()) and not args.force:
+        print(f"key files exist ({priv_path}, {pub_path}); use --force to overwrite",
+              file=sys.stderr)
+        return 1
+    if args.force:
+        priv_path.unlink(missing_ok=True)
+        pub_path.unlink(missing_ok=True)
+    crypto.setup_receiver_keys(priv_path, pub_path)
+    print(f"wrote {priv_path} and {pub_path} (SECP256R1)")
+    return 0
+
+
+def cmd_embed(args) -> int:
+    from stegotpu.pipeline import embed_image_in_video
+
+    pub = crypto.serialize_public_compressed(crypto.load_public_pem(args.public_key))
+    res = embed_image_in_video(
+        args.cover, args.secret, args.output, pub,
+        _config_from_args(args), batch_frames=args.batch,
+    )
+    if not res.success:
+        print(f"EMBED FAILED: {res.bits_embedded}/{res.total_payload_bits} bits "
+              f"embedded before the video ended", file=sys.stderr)
+        return 1
+    print(f"embedded {res.total_payload_bits} bits into '{res.output_path}' "
+          f"({res.frames_used} frames)")
+    psnr = res.first_frame_psnr
+    if psnr is not None:
+        print(f"first-frame PSNR (original vs stego gray): {psnr:.2f} dB")
+    return 0
+
+
+def cmd_extract(args) -> int:
+    from stegotpu.pipeline import extract_image_from_video
+
+    priv = crypto.load_private_pem(args.private_key)
+    res = extract_image_from_video(
+        args.stego, priv, _config_from_args(args), args.output,
+        batch_frames=args.batch,
+    )
+    if not res.success:
+        print(f"EXTRACT FAILED: {res.error}", file=sys.stderr)
+        return 1
+    print(f"extracted {res.parts.secret_width}x{res.parts.secret_height} image "
+          f"to '{res.output_path}'")
+    print("SHA3-256 integrity:", "OK" if res.hash_ok else "MISMATCH (image may be corrupt)")
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from stegotpu.evaluation import evaluate_stego_result, measure_crypto_timings, security_summary
+
+    ev = evaluate_stego_result(
+        args.original, args.stego, args.secret, args.extracted,
+        dump_frames_dir=args.dump_frames,
+    )
+    if ev.video:
+        print(f"stego video (first frame): PSNR {ev.video.psnr:.2f} dB, "
+              f"SSIM {ev.video.ssim:.4f} -> {ev.video.verdict}")
+    if ev.image:
+        print(f"extracted image: PSNR {ev.image.psnr:.2f} dB, "
+              f"SSIM {ev.image.ssim:.4f} -> {ev.image.verdict}")
+    if args.crypto_timings:
+        t = measure_crypto_timings()
+        print(f"crypto (per op, {t.payload_bytes}B payload): "
+              f"keygen {t.keygen_ms:.2f}ms, ecdh {t.ecdh_ms:.2f}ms, "
+              f"hkdf {t.hkdf_ms:.3f}ms, aes-enc {t.aes_encrypt_ms:.3f}ms, "
+              f"aes-dec {t.aes_decrypt_ms:.3f}ms, sha3 {t.sha3_ms:.3f}ms")
+    print("security:", json.dumps(security_summary()))
+    return 0
+
+
+def cmd_capacity(args) -> int:
+    from stegotpu.evaluation import capacity_report
+
+    r = capacity_report(args.video, _config_from_args(args))
+    print(f"{r.width}x{r.height}, {r.frames} frames")
+    print(f"QIM capacity: {r.qim_bits_per_frame} bits/frame "
+          f"({r.total_qim_bits} total)")
+    print(f"max gray secret: ~{r.max_secret_pixels} pixels "
+          f"(header {r.payload_header_bits} bits)")
+    print(f"(naive 1 bit/px figure, as the reference reports: "
+          f"{r.naive_bits_per_frame} bits/frame)")
+    return 0
+
+
+def cmd_fixtures(args) -> int:
+    from stegotpu.fixtures import make_cover_video, make_secret_image
+
+    out = Path(args.dir)
+    make_secret_image(out / "secret.png", args.secret_size, args.secret_size,
+                      kind="pattern")
+    make_cover_video(out / "cover.mp4", args.width, args.height,
+                     frames=args.frames, kind=args.kind)
+    print(f"wrote {out}/secret.png and {out}/cover.mp4")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="stegotpu",
+        description="TPU-native secure video steganography (ECC + DCT/QIM)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("genkey", help="create a receiver ECC keypair (PEM)")
+    g.add_argument("--private", default="bob_private_key.pem")
+    g.add_argument("--public", default="bob_public_key.pem")
+    g.add_argument("--force", action="store_true")
+    g.set_defaults(fn=cmd_genkey)
+
+    e = sub.add_parser("embed", help="embed an encrypted secret image into a video")
+    e.add_argument("cover", help="cover video path")
+    e.add_argument("secret", help="secret image path")
+    e.add_argument("output", help="output stego video path (.avi forced)")
+    e.add_argument("--public-key", default="bob_public_key.pem")
+    e.add_argument("--batch", type=int, default=8, help="frames per device batch")
+    _add_qim_flags(e)
+    e.set_defaults(fn=cmd_embed)
+
+    x = sub.add_parser("extract", help="extract the secret image from a stego video")
+    x.add_argument("stego", help="stego video path")
+    x.add_argument("output", help="output image path (PNG)")
+    x.add_argument("--private-key", default="bob_private_key.pem")
+    x.add_argument("--batch", type=int, default=8)
+    _add_qim_flags(x)
+    x.set_defaults(fn=cmd_extract)
+
+    v = sub.add_parser("evaluate", help="PSNR/SSIM quality + crypto cost report")
+    v.add_argument("original", help="original cover video")
+    v.add_argument("stego", help="stego video")
+    v.add_argument("--secret", default=None, help="original secret image")
+    v.add_argument("--extracted", default=None, help="extracted secret image")
+    v.add_argument("--dump-frames", default=None, help="dir for first-frame PNG dumps")
+    v.add_argument("--crypto-timings", action="store_true")
+    v.set_defaults(fn=cmd_evaluate)
+
+    c = sub.add_parser("capacity", help="embedding capacity of a cover video")
+    c.add_argument("video")
+    _add_qim_flags(c)
+    c.set_defaults(fn=cmd_capacity)
+
+    f = sub.add_parser("fixtures", help="generate demo cover video + secret image")
+    f.add_argument("--dir", default="media/input")
+    f.add_argument("--width", type=int, default=640)
+    f.add_argument("--height", type=int, default=480)
+    f.add_argument("--frames", type=int, default=48)
+    f.add_argument("--secret-size", type=int, default=64)
+    f.add_argument("--kind", choices=["moving", "noise"], default="moving")
+    f.set_defaults(fn=cmd_fixtures)
+
+    b = sub.add_parser("bench", help="run the headline device benchmark")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,74 @@
+"""Typed configuration for the stegotpu pipeline.
+
+The reference has no config system — parameters are hardcoded ``__main__``
+constants (reference: embed_process.py:169-170 ``DELTA_UNTUK_TES = 20``,
+``JUMLAH_AC_KOEFISIEN_DIPAKAI = 10``) and GUI spinboxes bounded [1,100] /
+[1,63] (reference: app.py:68-69, 231-234). This module gives the same defaults
+a real typed home. ``delta`` and ``num_ac_coeffs`` are out-of-band shared
+secrets: both embed and extract sides must agree (they are not part of the
+embedded header).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+BLOCK = 8  # DCT block edge (reference: config_and_setup.py:119 block_size = 8)
+BLOCK_AREA = BLOCK * BLOCK
+
+# Wire-format constants (reference: embed_process.py:60-74; helpers.py:86-105)
+DIMS_BITS = 16           # bits per secret-image dimension field
+LEN_FIELD_BITS = 8       # bits for each length-prefix (pubkey/salt/hash/nonce/tag)
+CIPHERTEXT_LEN_BITS = 32  # bits for the ciphertext length field
+
+# Crypto constants (reference: config_and_setup.py:44-96)
+AES_KEY_BYTES = 32
+GCM_NONCE_BYTES = 12
+GCM_TAG_BYTES = 16
+HKDF_SALT_BYTES = 16
+HKDF_INFO = b"kunci aes untuk steganografi video"  # part of the wire protocol
+COMPRESSED_POINT_BYTES = 33  # X9.62 compressed P-256 point
+
+
+@dataclasses.dataclass(frozen=True)
+class StegoConfig:
+    """QIM/DCT embedding parameters.
+
+    delta: QIM quantization step. Max per-coefficient perturbation is
+        1.5*delta (directional parity move + lattice snap). Must be large
+        enough that uint8 pixel quantization cannot flip parity on re-DCT
+        (default 20 is robust; 1 is not).
+    num_ac_coeffs: number of AC coefficients used per 8x8 block, in row-major
+        flat order starting at flat index 1 (NOT zigzag; reference:
+        config_and_setup.py:136-140). Clamped to [0, 63].
+    dims_bits: width of each secret-dimension header field.
+    codec: fourcc for the lossless stego video container.
+    """
+
+    delta: int = 20
+    num_ac_coeffs: int = 10
+    dims_bits: int = DIMS_BITS
+    codec: str = "FFV1"
+
+    def __post_init__(self) -> None:
+        if self.delta < 0:
+            raise ValueError(f"delta must be >= 0, got {self.delta}")
+        if not (0 <= self.num_ac_coeffs <= BLOCK_AREA - 1):
+            raise ValueError(
+                f"num_ac_coeffs must be in [0, {BLOCK_AREA - 1}], got {self.num_ac_coeffs}"
+            )
+
+    def frame_capacity_bits(self, height: int, width: int) -> int:
+        """Embedding capacity of one (pre-cropped) frame in bits.
+
+        (W//8)*(H//8)*num_ac_coeffs (reference: extract_process.py:39).
+        """
+        return (width // BLOCK) * (height // BLOCK) * self.num_ac_coeffs
+
+
+def crop_dims(height: int, width: int) -> tuple[int, int]:
+    """Frame dims cropped down to multiples of 8, top-left anchored.
+
+    (reference: embed_process.py:94,113; extract_process.py:34,62)
+    """
+    return (height // BLOCK) * BLOCK, (width // BLOCK) * BLOCK

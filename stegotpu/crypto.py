@@ -1,0 +1,153 @@
+"""Host-side cryptography: P-256 ECDH, HKDF-SHA256, AES-256-GCM, SHA3-256.
+
+Crypto is not TPU work: these stay host-side, built on the ``cryptography``
+library (OpenSSL), exactly like the reference (reference:
+config_and_setup.py:44-103). The derivation protocol is part of the wire
+format and must match the reference byte-for-byte:
+
+- ephemeral sender keypair on SECP256R1, public key serialized as an X9.62
+  compressed point (33 bytes) (reference: config_and_setup.py:73-85);
+- ECDH shared secret -> HKDF-SHA256 with a random 16-byte salt and the fixed
+  info string ``b'kunci aes untuk steganografi video'`` -> 32-byte AES key
+  (reference: config_and_setup.py:91-96, embed_process.py:41-42);
+- AES-256-GCM with a random 12-byte nonce, no AAD, 16-byte tag carried
+  separately from the ciphertext (reference: config_and_setup.py:44-70);
+- SHA3-256 of the plaintext image bytes for integrity (reference:
+  config_and_setup.py:99-103).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from cryptography.exceptions import InvalidTag
+from cryptography.hazmat.primitives import hashes, serialization
+from cryptography.hazmat.primitives.asymmetric import ec
+from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+from cryptography.hazmat.primitives.kdf.hkdf import HKDF
+
+from stegotpu.config import (
+    AES_KEY_BYTES,
+    GCM_NONCE_BYTES,
+    GCM_TAG_BYTES,
+    HKDF_INFO,
+    HKDF_SALT_BYTES,
+)
+
+CURVE = ec.SECP256R1()
+
+
+# --- keypairs and point serialization ---------------------------------------
+
+def generate_keypair() -> tuple[ec.EllipticCurvePrivateKey, ec.EllipticCurvePublicKey]:
+    priv = ec.generate_private_key(CURVE)
+    return priv, priv.public_key()
+
+
+def serialize_public_compressed(pub: ec.EllipticCurvePublicKey) -> bytes:
+    return pub.public_bytes(
+        encoding=serialization.Encoding.X962,
+        format=serialization.PublicFormat.CompressedPoint,
+    )
+
+
+def deserialize_public_compressed(data: bytes) -> ec.EllipticCurvePublicKey:
+    return ec.EllipticCurvePublicKey.from_encoded_point(CURVE, data)
+
+
+# --- key agreement -----------------------------------------------------------
+
+def ecdh_shared_secret(
+    local_private: ec.EllipticCurvePrivateKey, remote_public: ec.EllipticCurvePublicKey
+) -> bytes:
+    return local_private.exchange(ec.ECDH(), remote_public)
+
+
+def derive_aes_key(
+    shared_secret: bytes, salt: bytes | None = None, key_bytes: int = AES_KEY_BYTES
+) -> bytes:
+    hkdf = HKDF(algorithm=hashes.SHA256(), length=key_bytes, salt=salt, info=HKDF_INFO)
+    return hkdf.derive(shared_secret)
+
+
+# --- AES-GCM -----------------------------------------------------------------
+
+def aes_gcm_encrypt(plaintext: bytes, key: bytes) -> tuple[bytes, bytes, bytes]:
+    """Returns (ciphertext, nonce, tag); tag split off the AESGCM output tail."""
+    if len(key) not in (16, 24, 32):
+        raise ValueError("AES key must be 16, 24, or 32 bytes")
+    nonce = os.urandom(GCM_NONCE_BYTES)
+    ct_with_tag = AESGCM(key).encrypt(nonce, plaintext, None)
+    return ct_with_tag[:-GCM_TAG_BYTES], nonce, ct_with_tag[-GCM_TAG_BYTES:]
+
+
+def aes_gcm_decrypt(ciphertext: bytes, key: bytes, nonce: bytes, tag: bytes) -> bytes | None:
+    """Returns plaintext, or None on authentication failure (reference:
+    config_and_setup.py:57-70 returns None on InvalidTag)."""
+    if len(key) not in (16, 24, 32):
+        raise ValueError("AES key must be 16, 24, or 32 bytes")
+    try:
+        return AESGCM(key).decrypt(nonce, ciphertext + tag, None)
+    except InvalidTag:
+        return None
+
+
+# --- integrity ---------------------------------------------------------------
+
+def sha3_256(data: bytes) -> bytes:
+    digest = hashes.Hash(hashes.SHA3_256())
+    digest.update(data)
+    return digest.finalize()
+
+
+# --- persistent receiver keys (PEM) ------------------------------------------
+
+def save_keypair_pem(
+    priv: ec.EllipticCurvePrivateKey, private_path: str | Path, public_path: str | Path
+) -> None:
+    """PKCS8 unencrypted private + SubjectPublicKeyInfo public PEMs
+    (reference: config_and_setup.py:188-198)."""
+    Path(private_path).write_bytes(
+        priv.private_bytes(
+            encoding=serialization.Encoding.PEM,
+            format=serialization.PrivateFormat.PKCS8,
+            encryption_algorithm=serialization.NoEncryption(),
+        )
+    )
+    Path(public_path).write_bytes(
+        priv.public_key().public_bytes(
+            encoding=serialization.Encoding.PEM,
+            format=serialization.PublicFormat.SubjectPublicKeyInfo,
+        )
+    )
+
+
+def load_private_pem(path: str | Path) -> ec.EllipticCurvePrivateKey:
+    return serialization.load_pem_private_key(Path(path).read_bytes(), password=None)
+
+
+def load_public_pem(path: str | Path) -> ec.EllipticCurvePublicKey:
+    return serialization.load_pem_public_key(Path(path).read_bytes())
+
+
+def setup_receiver_keys(
+    private_path: str | Path = "bob_private_key.pem",
+    public_path: str | Path = "bob_public_key.pem",
+) -> tuple[ec.EllipticCurvePrivateKey, bytes]:
+    """Create-or-load the receiver's persistent keypair.
+
+    Returns (private key, compressed public point bytes)
+    (reference: config_and_setup.py:177-216 ``setup_kunci_ecc``).
+    """
+    private_path, public_path = Path(private_path), Path(public_path)
+    if not private_path.exists() or not public_path.exists():
+        priv, _ = generate_keypair()
+        save_keypair_pem(priv, private_path, public_path)
+    priv = load_private_pem(private_path)
+    pub = load_public_pem(public_path)
+    return priv, serialize_public_compressed(pub)
+
+
+def hkdf_salt() -> bytes:
+    return os.urandom(HKDF_SALT_BYTES)

@@ -1,0 +1,161 @@
+"""Device-mesh scaling for the stego kernels.
+
+The reference is single-process, single-threaded (SURVEY.md §2.5) — there is
+no communication layer to port. On TPU the workload is embarrassingly
+parallel at two levels, mapped onto a 2-D mesh:
+
+- ``data`` axis: frames of the batch are independent -> frame-axis data
+  parallelism (dp);
+- ``space`` axis: 8-pixel block *rows* within a frame are independent ->
+  spatial sharding (sp) of the H axis, for engaging many chips on a single
+  high-resolution stream at low batch.
+
+Payload routing needs no communication: per-slot global bit indices are
+statically computable, and because bits are consumed block-row-major, the
+(B, C) frame-major payload matrix shards *directly* on ('data', 'space') —
+the columns belonging to a height-stripe are contiguous. Each shard embeds
+its slice against a global ``bit_offset``; the only collective in the fused
+round-trip step is a ``psum`` of the BER error count over the mesh (ICI).
+
+Implemented with ``shard_map`` so the per-device program is exactly the
+single-chip kernel — no GSPMD surprises inside the QIM masks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from stegotpu.config import BLOCK
+from stegotpu.ops.qim import embed_frames, extract_frames
+
+
+def make_mesh(n_data: int | None = None, n_space: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'space') mesh. Defaults to all devices on 'data'."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = devices.size // n_space
+    devices = devices[: n_data * n_space].reshape(n_data, n_space)
+    return Mesh(devices, axis_names=("data", "space"))
+
+
+def _shard_offsets(b_l: int, h_l: int, w_l: int, num_ac: int, n_space: int,
+                   block: int):
+    """Per-shard payload geometry: (stripe capacity, full-frame capacity)."""
+    cap_stripe = (h_l // block) * (w_l // block) * num_ac
+    return cap_stripe, cap_stripe * n_space
+
+
+def _embed_local(frames, payload, total_bits, delta, *, num_ac, n_space, block):
+    """Per-device embed over a (b_l, h_l, w_l) frame shard.
+
+    Local frame f / stripe si holds global bits
+    [(di*b_l + f)*cap_frame + si*cap_stripe, ... + cap_stripe); embed each
+    frame with its own global offset via a scan (frames advance by cap_frame
+    globally but only cap_stripe locally, so the batched single-offset form
+    cannot be used across frames).
+    """
+    di = jax.lax.axis_index("data")
+    si = jax.lax.axis_index("space")
+    b_l, h_l, w_l = frames.shape
+    cap_stripe, cap_frame = _shard_offsets(b_l, h_l, w_l, num_ac, n_space, block)
+
+    def one(f, _):
+        offset = (di * b_l + f) * cap_frame + si * cap_stripe
+        stego_f, bpf_f = embed_frames(
+            jax.lax.dynamic_slice_in_dim(frames, f, 1, 0),
+            jax.lax.dynamic_slice_in_dim(payload, f, 1, 0),
+            total_bits, delta, num_ac, block, bit_offset=offset,
+        )
+        return f + 1, (stego_f[0], bpf_f[0])
+
+    _, (stego, bpf) = jax.lax.scan(one, 0, None, length=b_l)
+    return stego, bpf
+
+
+def sharded_embed_frames(mesh: Mesh, num_ac: int, block: int = BLOCK):
+    """Jitted dp x sp sharded embed.
+
+    frames (B, H, W) shard as ('data', 'space', None); payload (B, C) as
+    ('data', 'space') — C columns are block-row-major so stripe bits are
+    contiguous. B must divide by the 'data' size and H//block by 'space'.
+    Returned bpf is the per-(frame, stripe) bit count summed over stripes.
+    """
+    n_space = mesh.shape["space"]
+
+    def _local(frames, payload, total_bits, delta):
+        stego, bpf = _embed_local(
+            frames, payload, total_bits, delta,
+            num_ac=num_ac, n_space=n_space, block=block,
+        )
+        bpf = jax.lax.psum(bpf, axis_name="space")
+        return stego, bpf
+
+    fn = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P("data", "space", None), P("data", "space"), P(), P()),
+        out_specs=(P("data", "space", None), P("data")),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_extract_frames(mesh: Mesh, num_ac: int, block: int = BLOCK):
+    """Jitted dp x sp sharded extract -> (B, C) bits, purely local compute."""
+
+    def _local(frames, delta):
+        return extract_frames(frames, delta, num_ac, block)
+
+    fn = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P("data", "space", None), P()),
+        out_specs=P("data", "space"),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_roundtrip_step(mesh: Mesh, num_ac: int, block: int = BLOCK):
+    """Fused sharded embed -> extract -> global BER: one compiled program.
+
+    This is the framework's "training step" analogue: real dp x sp sharding
+    with a psum'd on-device error-count reduction over the mesh as the only
+    collective. Returns (stego, bits_per_frame, extracted_bits, total_errors)
+    where total_errors counts mismatches on payload-carrying slots only.
+    """
+    n_space = mesh.shape["space"]
+
+    def _local(frames, payload, total_bits, delta):
+        di = jax.lax.axis_index("data")
+        si = jax.lax.axis_index("space")
+        b_l, h_l, w_l = frames.shape
+        cap_stripe, cap_frame = _shard_offsets(
+            b_l, h_l, w_l, num_ac, n_space, block
+        )
+        stego, bpf = _embed_local(
+            frames, payload, total_bits, delta,
+            num_ac=num_ac, n_space=n_space, block=block,
+        )
+        extracted = extract_frames(stego, delta, num_ac, block)
+        # mask: count errors only on slots that actually carry payload
+        col = jnp.arange(cap_stripe, dtype=jnp.int32)[None, :]
+        frame_idx = di * b_l + jnp.arange(b_l, dtype=jnp.int32)[:, None]
+        slot_global = frame_idx * cap_frame + si * cap_stripe + col
+        mask = slot_global < total_bits
+        errors = jnp.sum(jnp.where(mask, (extracted != payload).astype(jnp.int32), 0))
+        total_errors = jax.lax.psum(
+            jax.lax.psum(errors, axis_name="space"), axis_name="data"
+        )
+        bpf = jax.lax.psum(bpf, axis_name="space")
+        return stego, bpf, extracted, total_errors
+
+    fn = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P("data", "space", None), P("data", "space"), P(), P()),
+        out_specs=(P("data", "space", None), P("data"), P("data", "space"), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)

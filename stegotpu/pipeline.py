@@ -1,0 +1,250 @@
+"""Top-level embed / extract pipelines: file-to-file, streaming, batched.
+
+Same observable semantics as the reference's L3 orchestration
+(``embed_gambar_ke_video_final`` embed_process.py:17-152,
+``ekstraksi_gambar_video_final`` extract_process.py:22-216):
+
+- frames are cropped top-left to multiples of 8;
+- frames carrying payload are written as the gray stego frame replicated to
+  BGR; once the payload is exhausted the remaining frames are copied through
+  in original (cropped) color;
+- extraction reads full frame capacity per frame, accumulating bits until the
+  length-driven header parse succeeds, then decrypts, verifies SHA3
+  (warn-only on mismatch, like the reference), and rebuilds the image.
+
+TPU-first differences: frames move in fixed-size batches through the fused
+device kernel (one compilation per resolution), with a background decode
+thread double-buffering host I/O against device compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from stegotpu import image as image_codec
+from stegotpu import payload as payload_mod
+from stegotpu.bitstream import bits_to_bytes, bytes_to_bits, pad_bits
+from stegotpu.config import StegoConfig, crop_dims
+from stegotpu.metrics import psnr_np
+from stegotpu.ops.color import bgr_to_gray_np
+from stegotpu.ops.qim import embed_frames, extract_frames
+from stegotpu.payload import NeedMoreBits, PayloadParts, open_payload, parse_payload_bits
+from stegotpu.video import Prefetcher, VideoReader, VideoWriter, force_avi_path
+
+log = logging.getLogger("stegotpu")
+
+
+@dataclasses.dataclass
+class EmbedResult:
+    success: bool
+    output_path: str | None
+    total_payload_bits: int
+    bits_embedded: int
+    frames_used: int
+    first_original_gray: np.ndarray | None = None
+    first_stego_gray: np.ndarray | None = None
+
+    @property
+    def first_frame_psnr(self) -> float | None:
+        if self.first_original_gray is None or self.first_stego_gray is None:
+            return None
+        return psnr_np(self.first_original_gray, self.first_stego_gray)
+
+
+@dataclasses.dataclass
+class ExtractResult:
+    success: bool
+    pixels: np.ndarray | None = None
+    hash_ok: bool = False
+    parts: PayloadParts | None = None
+    error: str | None = None
+    output_path: str | None = None
+
+
+def embed_image_in_video(
+    video_in: str | Path,
+    secret_image: str | Path,
+    video_out: str | Path,
+    receiver_pub_compressed: bytes,
+    config: StegoConfig = StegoConfig(),
+    batch_frames: int = 8,
+) -> EmbedResult:
+    """Embed an encrypted secret image into a video, file to file."""
+    if config.delta <= 0:
+        raise ValueError("embedding requires delta >= 1 (delta <= 0 embeds nothing)")
+
+    width, height, img_bits = image_codec.image_to_bits(secret_image)
+    img_bytes = bits_to_bytes(img_bits)
+    all_bits, _parts = payload_mod.seal_payload(
+        img_bytes, width, height, receiver_pub_compressed, config.dims_bits
+    )
+    total = int(all_bits.size)
+
+    with VideoReader(video_in) as reader:
+        h8, w8 = reader.info.cropped
+        if h8 == 0 or w8 == 0:
+            return EmbedResult(False, None, total, 0, 0)
+        cap_bits = config.frame_capacity_bits(h8, w8)
+        if cap_bits == 0:
+            return EmbedResult(False, None, total, 0, 0)
+        delta = jnp.float32(config.delta)
+
+        out_path = force_avi_path(video_out)
+        cursor = 0
+        frames_seen = 0
+        first_orig = first_stego = None
+        with VideoWriter(out_path, reader.info.fps, w8, h8, config.codec) as writer, \
+                Prefetcher(reader.batches(batch_frames)) as prefetched:
+            for batch_bgr in prefetched:
+                n = batch_bgr.shape[0]
+                if cursor < total:
+                    gray = bgr_to_gray_np(batch_bgr)  # cv2-bit-exact conversion
+                    if n < batch_frames:  # stable jit shape for the tail batch
+                        gray = np.concatenate(
+                            [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
+                        )
+                    remaining = total - cursor
+                    seg = pad_bits(
+                        all_bits[cursor : cursor + batch_frames * cap_bits],
+                        batch_frames * cap_bits,
+                    ).reshape(batch_frames, cap_bits)
+                    stego, bpf = embed_frames(
+                        jnp.asarray(gray),
+                        jnp.asarray(seg),
+                        jnp.int32(remaining),
+                        delta,
+                        config.num_ac_coeffs,
+                    )
+                    stego = np.asarray(stego)[:n]
+                    bpf = np.asarray(bpf)[:n]
+                    if frames_seen == 0 and n > 0:
+                        first_orig = gray[0].copy()
+                        first_stego = stego[0].copy()
+                    for i in range(n):
+                        if bpf[i] > 0:
+                            writer.write_gray_batch(stego[i : i + 1])
+                        else:
+                            writer.write_bgr(batch_bgr[i])
+                    cursor += int(bpf.sum())
+                else:
+                    # Payload complete: stream remaining frames as original color
+                    # (reference: embed_process.py:134-139).
+                    writer.write_bgr_batch(batch_bgr)
+                frames_seen += n
+
+    success = cursor >= total
+    if not success:
+        log.warning(
+            "video ended before full payload embedded (%d/%d bits)", cursor, total
+        )
+    return EmbedResult(success, out_path if success else None, total, cursor,
+                       frames_seen, first_orig, first_stego)
+
+
+def extract_image_from_video(
+    stego_video: str | Path,
+    receiver_private,
+    config: StegoConfig = StegoConfig(),
+    output_image: str | Path | None = None,
+    batch_frames: int = 8,
+) -> ExtractResult:
+    """Extract, decrypt, and verify the secret image from a stego video."""
+    with VideoReader(stego_video) as reader:
+        h8, w8 = reader.info.cropped
+        if h8 == 0 or w8 == 0:
+            return ExtractResult(False, error="video dimensions too small")
+        cap_bits = config.frame_capacity_bits(h8, w8)
+        if cap_bits == 0:
+            return ExtractResult(False, error="zero capacity (num_ac_coeffs=0?)")
+        delta = jnp.float32(config.delta)
+
+        collected: list[np.ndarray] = []
+        collected_bits = 0
+        parts = None
+        with Prefetcher(reader.batches(batch_frames)) as prefetched:
+            for batch_bgr in prefetched:
+                n = batch_bgr.shape[0]
+                gray = bgr_to_gray_np(batch_bgr)
+                if n < batch_frames:
+                    gray = np.concatenate(
+                        [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
+                    )
+                bits = np.asarray(
+                    extract_frames(jnp.asarray(gray), delta, config.num_ac_coeffs)
+                )[:n].reshape(-1)
+                collected.append(bits)
+                collected_bits += bits.size
+                if collected_bits >= payload_mod.FIXED_HEADER_BITS:
+                    buf = np.concatenate(collected)
+                    try:
+                        parts, _consumed = parse_payload_bits(buf, config.dims_bits)
+                        break
+                    except NeedMoreBits:
+                        continue  # ciphertext (or header) spans more frames
+                    except ValueError as e:
+                        return ExtractResult(False, error=str(e))
+        if parts is None:
+            return ExtractResult(
+                False,
+                error=f"video ended before payload complete ({collected_bits} bits read)",
+            )
+
+    plaintext, hash_ok = open_payload(parts, receiver_private)
+    if plaintext is None:
+        return ExtractResult(False, parts=parts, error="AES-GCM authentication failed")
+    if not hash_ok:
+        log.warning("SHA3-256 mismatch: image may be corrupt (continuing, like reference)")
+
+    try:
+        pixels = image_codec.bytes_to_pixels(
+            plaintext, parts.secret_width, parts.secret_height
+        )
+    except ValueError as e:
+        return ExtractResult(False, parts=parts, hash_ok=hash_ok, error=str(e))
+
+    out_path = None
+    if output_image is not None:
+        image_codec.save_image_gray(pixels, output_image)
+        out_path = str(output_image)
+    return ExtractResult(True, pixels=pixels, hash_ok=hash_ok, parts=parts,
+                         output_path=out_path)
+
+
+# Array-level API (no container round-trip) -----------------------------------
+
+def embed_payload_into_gray_frames(
+    frames_gray: np.ndarray,
+    payload_bits: np.ndarray,
+    config: StegoConfig = StegoConfig(),
+) -> tuple[np.ndarray, np.ndarray]:
+    """Embed raw payload bits into a (B, H, W) uint8 gray frame stack.
+
+    Returns (stego frames, bits embedded per frame). Frames must already be
+    cropped to multiples of 8.
+    """
+    b, h, w = frames_gray.shape
+    cap = config.frame_capacity_bits(h, w)
+    seg = pad_bits(payload_bits[: b * cap], b * cap).reshape(b, cap)
+    stego, bpf = embed_frames(
+        jnp.asarray(frames_gray),
+        jnp.asarray(seg),
+        jnp.int32(min(payload_bits.size, b * cap)),
+        jnp.float32(config.delta),
+        config.num_ac_coeffs,
+    )
+    return np.asarray(stego), np.asarray(bpf)
+
+
+def extract_bits_from_gray_frames(
+    frames_gray: np.ndarray, config: StegoConfig = StegoConfig()
+) -> np.ndarray:
+    """Extract the full capacity bitstream from a (B, H, W) gray frame stack."""
+    bits = extract_frames(
+        jnp.asarray(frames_gray), jnp.float32(config.delta), config.num_ac_coeffs
+    )
+    return np.asarray(bits).reshape(-1)

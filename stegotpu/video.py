@@ -1,0 +1,209 @@
+"""Host-side video I/O: streaming decode, lossless FFV1 encode, prefetching.
+
+The reference streams one frame at a time through ``cv2.VideoCapture`` /
+``cv2.VideoWriter`` with FFV1-in-.avi output (reference:
+embed_process.py:89-146, extract_process.py:30-62). Here frames move in
+batches so the device kernel amortizes dispatch, and a background decode
+thread double-buffers host I/O against device compute (the stego pipeline is
+host-bandwidth-bound long before it is TPU-bound).
+
+Output container parity: the writer forces a ``.avi`` extension like the
+reference's ``get_avi_path`` (reference: helpers.py:184-187,
+embed_process.py:97-98) and uses the FFV1 lossless codec so QIM parities
+survive the encode exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator
+
+import cv2
+import numpy as np
+
+from stegotpu.config import crop_dims
+
+
+def force_avi_path(path: str | Path) -> str:
+    """Force a .avi extension (reference: helpers.py:184-187)."""
+    base, _ = os.path.splitext(str(path))
+    return base + ".avi"
+
+
+@dataclass(frozen=True)
+class VideoInfo:
+    width: int
+    height: int
+    fps: float
+    frame_count: int  # container-reported; may be 0/unreliable for streams
+
+    @property
+    def cropped(self) -> tuple[int, int]:
+        """(height, width) cropped to multiples of 8, top-left anchored."""
+        return crop_dims(self.height, self.width)
+
+
+class VideoReader:
+    """Streaming BGR frame reader with batched iteration."""
+
+    def __init__(self, path: str | Path):
+        self.path = str(path)
+        self._cap = cv2.VideoCapture(self.path)
+        if not self._cap.isOpened():
+            raise IOError(f"cannot open video '{self.path}'")
+        self.info = VideoInfo(
+            width=int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            height=int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+            fps=float(self._cap.get(cv2.CAP_PROP_FPS)),
+            frame_count=int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+        )
+
+    def read_frame(self, crop: bool = True) -> np.ndarray | None:
+        ret, frame = self._cap.read()
+        if not ret:
+            return None
+        if crop:
+            h8, w8 = self.info.cropped
+            frame = frame[:h8, :w8]
+        return frame
+
+    def batches(self, batch_size: int, crop: bool = True) -> Iterator[np.ndarray]:
+        """Yield (n, H, W, 3) uint8 BGR batches; the last may be short."""
+        buf: list[np.ndarray] = []
+        while True:
+            frame = self.read_frame(crop)
+            if frame is None:
+                break
+            buf.append(frame)
+            if len(buf) == batch_size:
+                yield np.stack(buf)
+                buf = []
+        if buf:
+            yield np.stack(buf)
+
+    def release(self) -> None:
+        self._cap.release()
+
+    def __enter__(self) -> "VideoReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+class VideoWriter:
+    """Lossless stego video writer (FFV1 in .avi by default)."""
+
+    def __init__(
+        self,
+        path: str | Path,
+        fps: float,
+        width: int,
+        height: int,
+        codec: str = "FFV1",
+    ):
+        self.path = force_avi_path(path)
+        Path(self.path).parent.mkdir(parents=True, exist_ok=True)
+        fourcc = cv2.VideoWriter_fourcc(*codec)
+        self._out = cv2.VideoWriter(self.path, fourcc, fps, (width, height), isColor=True)
+        if not self._out.isOpened():
+            raise IOError(f"cannot open {codec} VideoWriter for '{self.path}'")
+
+    def write_bgr(self, frame: np.ndarray) -> None:
+        self._out.write(frame)
+
+    def write_bgr_batch(self, frames: np.ndarray) -> None:
+        for f in frames:
+            self._out.write(np.ascontiguousarray(f))
+
+    def write_gray_batch(self, frames_gray: np.ndarray) -> None:
+        """Write gray frames replicated to BGR (reference: embed_process.py:126)."""
+        for f in frames_gray:
+            self._out.write(cv2.cvtColor(np.ascontiguousarray(f), cv2.COLOR_GRAY2BGR))
+
+    def release(self) -> None:
+        self._out.release()
+
+    def __enter__(self) -> "VideoWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+class Prefetcher:
+    """Background-thread iterator: overlaps host decode with device compute.
+
+    Keeps up to `depth` batches in flight (double buffering at depth=2).
+    cv2 releases the GIL inside decode, so the worker genuinely overlaps.
+
+    MUST be close()d (or iterated to exhaustion) before the underlying
+    video source is released: the worker thread holds a live reference into
+    the decoder, and releasing the capture under it is a use-after-free.
+    Use as a context manager to guarantee this.
+    """
+
+    _DONE = object()
+
+    def __init__(self, iterator: Iterator, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err: BaseException | None = None
+        self._stop = threading.Event()
+
+        def _put_or_stop(item) -> bool:
+            """Blocking put that aborts when close() raises the stop flag.
+            Returns False if stopped."""
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def worker():
+            try:
+                for item in iterator:
+                    if not _put_or_stop(item):
+                        return
+            except BaseException as e:  # propagate decode errors to consumer
+                self._err = e
+            finally:
+                # the DONE sentinel must not be dropped: a consumer blocked in
+                # get() would hang forever (close() drains, so this terminates)
+                _put_or_stop(self._DONE)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self) -> "Prefetcher":
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            self._thread.join()
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+    def close(self) -> None:
+        """Stop the worker and wait for it; safe to call at any point."""
+        self._stop.set()
+        while True:  # drain so a blocked put can observe the stop flag
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=10.0)
+
+    def __enter__(self) -> "Prefetcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

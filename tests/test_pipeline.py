@@ -1,0 +1,151 @@
+"""End-to-end file-to-file round trips through real FFV1 video containers —
+the minimum slice of SURVEY.md §7 step 3, plus failure paths."""
+
+import numpy as np
+import pytest
+
+from stegotpu import crypto, fixtures
+from stegotpu.config import StegoConfig
+from stegotpu.image import load_image_gray
+from stegotpu.pipeline import embed_image_in_video, extract_image_from_video
+from stegotpu.video import force_avi_path
+
+
+@pytest.fixture(scope="module")
+def keys(tmp_path_factory):
+    d = tmp_path_factory.mktemp("keys")
+    return crypto.setup_receiver_keys(d / "priv.pem", d / "pub.pem")
+
+
+@pytest.fixture(scope="module")
+def media(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    fixtures.make_secret_image(d / "secret.png", 32, 32, kind="pattern")
+    fixtures.make_cover_video(d / "cover.mp4", 320, 240, frames=12, kind="moving")
+    return d
+
+
+def test_embed_extract_roundtrip_pixel_identical(media, keys, tmp_path):
+    """North star: the extracted secret is pixel-identical to the original
+    (reference: extract_process.py:262-272)."""
+    priv, pub_c = keys
+    cfg = StegoConfig(delta=20, num_ac_coeffs=10)
+    res = embed_image_in_video(
+        media / "cover.mp4", media / "secret.png", tmp_path / "stego", pub_c, cfg,
+        batch_frames=4,
+    )
+    assert res.success
+    assert res.output_path.endswith(".avi")
+    assert res.bits_embedded == res.total_payload_bits
+    assert res.first_frame_psnr is not None and res.first_frame_psnr > 20.0
+
+    out_png = tmp_path / "extracted.png"
+    ext = extract_image_from_video(res.output_path, priv, cfg, out_png, batch_frames=4)
+    assert ext.success, ext.error
+    assert ext.hash_ok
+    original = load_image_gray(media / "secret.png")
+    np.testing.assert_array_equal(ext.pixels, original)
+    np.testing.assert_array_equal(load_image_gray(out_png), original)
+
+
+def test_payload_spans_multiple_frames(media, keys, tmp_path):
+    """Small per-frame capacity forces the ciphertext across frames
+    (reference continuation loop: extract_process.py:173-182)."""
+    priv, pub_c = keys
+    cfg = StegoConfig(delta=20, num_ac_coeffs=3)  # 320x240/64*3 = 3600 bits/frame
+    res = embed_image_in_video(
+        media / "cover.mp4", media / "secret.png", tmp_path / "stego_multi", pub_c, cfg,
+        batch_frames=2,
+    )
+    assert res.success
+    # 32x32 secret -> 976 + 8192 = 9168 bits > 3600/frame -> >= 3 frames
+    assert res.bits_embedded == res.total_payload_bits > 2 * 3600
+    ext = extract_image_from_video(res.output_path, priv, cfg, batch_frames=2)
+    assert ext.success, ext.error
+    np.testing.assert_array_equal(ext.pixels, load_image_gray(media / "secret.png"))
+
+
+def test_wrong_key_fails_authentication(media, keys, tmp_path):
+    priv, pub_c = keys
+    cfg = StegoConfig()
+    res = embed_image_in_video(
+        media / "cover.mp4", media / "secret.png", tmp_path / "stego_auth", pub_c, cfg,
+    )
+    assert res.success
+    wrong_priv, _ = crypto.generate_keypair()
+    ext = extract_image_from_video(res.output_path, wrong_priv, cfg)
+    assert not ext.success
+    assert "authentication" in ext.error
+
+
+def test_wrong_delta_fails_cleanly(media, keys, tmp_path):
+    """delta is an out-of-band shared secret; a mismatch must fail, not crash."""
+    priv, pub_c = keys
+    res = embed_image_in_video(
+        media / "cover.mp4", media / "secret.png", tmp_path / "stego_delta", pub_c,
+        StegoConfig(delta=20),
+    )
+    assert res.success
+    ext = extract_image_from_video(res.output_path, priv, StegoConfig(delta=21))
+    assert not ext.success
+
+
+def test_video_too_small_for_payload(keys, tmp_path):
+    priv, pub_c = keys
+    fixtures.make_secret_image(tmp_path / "big_secret.png", 128, 128, kind="noise")
+    fixtures.make_cover_video(tmp_path / "tiny.mp4", 64, 64, frames=3)
+    res = embed_image_in_video(
+        tmp_path / "tiny.mp4", tmp_path / "big_secret.png", tmp_path / "stego_small",
+        pub_c, StegoConfig(),
+    )
+    # 128*128*8 bits >> 3 frames * 64 blocks * 10 bits
+    assert not res.success
+    assert res.bits_embedded < res.total_payload_bits
+
+
+def test_delta_zero_rejected(media, keys, tmp_path):
+    _, pub_c = keys
+    with pytest.raises(ValueError):
+        embed_image_in_video(
+            media / "cover.mp4", media / "secret.png", tmp_path / "x", pub_c,
+            StegoConfig(delta=0),
+        )
+
+
+def test_trailing_frames_passthrough_color(media, keys, tmp_path):
+    """Frames after the payload keep original (cropped) color content
+    (reference: embed_process.py:134-139)."""
+    import cv2
+
+    priv, pub_c = keys
+    cfg = StegoConfig(delta=20, num_ac_coeffs=10)
+    res = embed_image_in_video(
+        media / "cover.mp4", media / "secret.png", tmp_path / "stego_tail", pub_c, cfg,
+        batch_frames=4,
+    )
+    assert res.success
+    cap_in = cv2.VideoCapture(str(media / "cover.mp4"))
+    cap_out = cv2.VideoCapture(res.output_path)
+    n_stego_frames = -(-res.total_payload_bits // cfg.frame_capacity_bits(240, 320))
+    i = 0
+    while True:
+        ri, fi = cap_in.read()
+        ro, fo = cap_out.read()
+        if not ro:
+            break
+        assert ri
+        if i >= n_stego_frames:
+            # passthrough frame: identical to cropped original (FFV1 lossless)
+            np.testing.assert_array_equal(fo, fi[:240, :320])
+        else:
+            # stego frame: grayscale replicated across channels
+            assert np.array_equal(fo[..., 0], fo[..., 1])
+            assert np.array_equal(fo[..., 1], fo[..., 2])
+        i += 1
+    cap_in.release(), cap_out.release()
+    assert i == 12  # all cover frames present in the stego video
+
+
+def test_force_avi_path():
+    assert force_avi_path("out.mp4") == "out.avi"
+    assert force_avi_path("dir/base") == "dir/base.avi"
