@@ -23,6 +23,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from stegotpu.ops.qim import embed_and_extract_frames
+    from stegotpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     b, h, w, n_ac, delta = 16, 1080, 1920, 10, 20.0
     cap = (h // 8) * (w // 8) * n_ac

@@ -1,0 +1,155 @@
+"""ctypes bindings for the native FFmpeg video I/O library.
+
+Builds `libstegovideo.so` on demand (g++ + FFmpeg dev headers) and exposes
+NativeVideoReader / NativeVideoWriter mirroring the cv2-backed classes in
+stegotpu.video. `available()` reports whether the native path can be used;
+callers fall back to cv2 when it can't.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_SO = _DIR / "libstegovideo.so"
+_lib = None
+_build_error: str | None = None
+
+
+def _load():
+    global _lib, _build_error
+    if _lib is not None or _build_error is not None:
+        return _lib
+    try:
+        if not _SO.exists() or _SO.stat().st_mtime < (_DIR / "videoio.cpp").stat().st_mtime:
+            proc = subprocess.run(
+                ["make", "-C", str(_DIR), "-s"], capture_output=True, text=True
+            )
+            if proc.returncode != 0:
+                _build_error = proc.stderr[-2000:]
+                return None
+        lib = ctypes.CDLL(str(_SO))
+        lib.svx_last_error.restype = ctypes.c_char_p
+        lib.svx_reader_open.restype = ctypes.c_void_p
+        lib.svx_reader_open.argtypes = [ctypes.c_char_p]
+        lib.svx_reader_info.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.svx_reader_read_batch.restype = ctypes.c_int
+        lib.svx_reader_read_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.svx_reader_close.argtypes = [ctypes.c_void_p]
+        lib.svx_writer_open.restype = ctypes.c_void_p
+        lib.svx_writer_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ]
+        lib.svx_writer_write.restype = ctypes.c_int
+        lib.svx_writer_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        lib.svx_writer_close.restype = ctypes.c_int
+        lib.svx_writer_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except Exception as e:  # pragma: no cover - environment dependent
+        _build_error = str(e)
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_error() -> str | None:
+    _load()
+    return _build_error
+
+
+class NativeVideoReader:
+    """FFmpeg-native batched BGR24 reader (threaded decode)."""
+
+    def __init__(self, path: str | Path):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native video lib unavailable: {_build_error}")
+        self._lib = lib
+        self._h = lib.svx_reader_open(str(path).encode())
+        if not self._h:
+            raise IOError(lib.svx_last_error().decode())
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        fps = ctypes.c_double()
+        n = ctypes.c_int64()
+        lib.svx_reader_info(self._h, ctypes.byref(w), ctypes.byref(h),
+                            ctypes.byref(fps), ctypes.byref(n))
+        self.width, self.height = w.value, h.value
+        self.fps, self.frame_count = fps.value, int(n.value)
+
+    def read_batch(self, batch: int, crop_h: int, crop_w: int) -> np.ndarray | None:
+        """Returns (n, crop_h, crop_w, 3) uint8 BGR, or None at EOF."""
+        out = np.empty((batch, crop_h, crop_w, 3), dtype=np.uint8)
+        got = self._lib.svx_reader_read_batch(
+            self._h, out.ctypes.data_as(ctypes.c_void_p), batch, crop_h, crop_w
+        )
+        if got < 0:
+            raise IOError(self._lib.svx_last_error().decode())
+        if got == 0:
+            return None
+        return out[:got]
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.svx_reader_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class NativeVideoWriter:
+    """FFmpeg-native FFV1-in-.avi lossless writer (slice-threaded encode)."""
+
+    def __init__(self, path: str | Path, width: int, height: int, fps: float):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native video lib unavailable: {_build_error}")
+        self._lib = lib
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        self._h = lib.svx_writer_open(str(path).encode(), width, height, float(fps))
+        if not self._h:
+            raise IOError(lib.svx_last_error().decode())
+        self.width, self.height = width, height
+
+    def write(self, frames_bgr: np.ndarray) -> None:
+        """frames_bgr: (n, H, W, 3) or (H, W, 3) uint8."""
+        if frames_bgr.ndim == 3:
+            frames_bgr = frames_bgr[None]
+        frames_bgr = np.ascontiguousarray(frames_bgr, dtype=np.uint8)
+        rc = self._lib.svx_writer_write(
+            self._h, frames_bgr.ctypes.data_as(ctypes.c_void_p),
+            frames_bgr.shape[0],
+        )
+        if rc != 0:
+            raise IOError(self._lib.svx_last_error().decode())
+
+    def close(self) -> None:
+        if self._h:
+            rc = self._lib.svx_writer_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise IOError("native writer close failed")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

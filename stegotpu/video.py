@@ -26,12 +26,25 @@ import cv2
 import numpy as np
 
 from stegotpu.config import crop_dims
+from stegotpu.native import videoio as native_io
 
 
 def force_avi_path(path: str | Path) -> str:
     """Force a .avi extension (reference: helpers.py:184-187)."""
     base, _ = os.path.splitext(str(path))
     return base + ".avi"
+
+
+def _use_native(backend: str) -> bool:
+    if backend == "cv2" or os.environ.get("STEGOTPU_VIDEO_BACKEND") == "cv2":
+        return False
+    if backend == "native":
+        if not native_io.available():
+            raise RuntimeError(
+                f"native video backend requested but unavailable: {native_io.build_error()}"
+            )
+        return True
+    return native_io.available()
 
 
 @dataclass(frozen=True)
@@ -48,31 +61,55 @@ class VideoInfo:
 
 
 class VideoReader:
-    """Streaming BGR frame reader with batched iteration."""
+    """Streaming BGR frame reader with batched iteration.
 
-    def __init__(self, path: str | Path):
+    Uses the native FFmpeg layer (stegotpu/native) when built — threaded
+    decode, batch delivery in one C call — and falls back to cv2 otherwise
+    (force with backend='cv2'/'native' or STEGOTPU_VIDEO_BACKEND=cv2).
+    """
+
+    def __init__(self, path: str | Path, backend: str = "auto"):
         self.path = str(path)
-        self._cap = cv2.VideoCapture(self.path)
-        if not self._cap.isOpened():
-            raise IOError(f"cannot open video '{self.path}'")
-        self.info = VideoInfo(
-            width=int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
-            height=int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
-            fps=float(self._cap.get(cv2.CAP_PROP_FPS)),
-            frame_count=int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT)),
-        )
+        self._native = None
+        self._cap = None
+        if _use_native(backend):
+            self._native = native_io.NativeVideoReader(self.path)
+            self.info = VideoInfo(
+                width=self._native.width,
+                height=self._native.height,
+                fps=self._native.fps,
+                frame_count=self._native.frame_count,
+            )
+        else:
+            self._cap = cv2.VideoCapture(self.path)
+            if not self._cap.isOpened():
+                raise IOError(f"cannot open video '{self.path}'")
+            self.info = VideoInfo(
+                width=int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                height=int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+                fps=float(self._cap.get(cv2.CAP_PROP_FPS)),
+                frame_count=int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+            )
 
     def read_frame(self, crop: bool = True) -> np.ndarray | None:
+        h, w = self.info.cropped if crop else (self.info.height, self.info.width)
+        if self._native is not None:
+            batch = self._native.read_batch(1, h, w)
+            return None if batch is None else batch[0]
         ret, frame = self._cap.read()
         if not ret:
             return None
-        if crop:
-            h8, w8 = self.info.cropped
-            frame = frame[:h8, :w8]
-        return frame
+        return frame[:h, :w]
 
     def batches(self, batch_size: int, crop: bool = True) -> Iterator[np.ndarray]:
         """Yield (n, H, W, 3) uint8 BGR batches; the last may be short."""
+        h, w = self.info.cropped if crop else (self.info.height, self.info.width)
+        if self._native is not None:
+            while True:
+                batch = self._native.read_batch(batch_size, h, w)
+                if batch is None:
+                    return
+                yield batch
         buf: list[np.ndarray] = []
         while True:
             frame = self.read_frame(crop)
@@ -86,7 +123,12 @@ class VideoReader:
             yield np.stack(buf)
 
     def release(self) -> None:
-        self._cap.release()
+        if self._native is not None:
+            self._native.close()
+            self._native = None
+        if self._cap is not None:
+            self._cap.release()
+            self._cap = None
 
     def __enter__(self) -> "VideoReader":
         return self
@@ -96,7 +138,11 @@ class VideoReader:
 
 
 class VideoWriter:
-    """Lossless stego video writer (FFV1 in .avi by default)."""
+    """Lossless stego video writer (FFV1 in .avi by default).
+
+    Native FFmpeg backend (slice-threaded FFV1 encode, batched C calls) when
+    available; cv2 otherwise. Non-FFV1 codecs always go through cv2.
+    """
 
     def __init__(
         self,
@@ -105,28 +151,52 @@ class VideoWriter:
         width: int,
         height: int,
         codec: str = "FFV1",
+        backend: str = "auto",
     ):
         self.path = force_avi_path(path)
         Path(self.path).parent.mkdir(parents=True, exist_ok=True)
-        fourcc = cv2.VideoWriter_fourcc(*codec)
-        self._out = cv2.VideoWriter(self.path, fourcc, fps, (width, height), isColor=True)
-        if not self._out.isOpened():
-            raise IOError(f"cannot open {codec} VideoWriter for '{self.path}'")
+        self._native = None
+        self._out = None
+        if codec == "FFV1" and _use_native(backend):
+            self._native = native_io.NativeVideoWriter(self.path, width, height, fps)
+        else:
+            fourcc = cv2.VideoWriter_fourcc(*codec)
+            self._out = cv2.VideoWriter(
+                self.path, fourcc, fps, (width, height), isColor=True
+            )
+            if not self._out.isOpened():
+                raise IOError(f"cannot open {codec} VideoWriter for '{self.path}'")
 
     def write_bgr(self, frame: np.ndarray) -> None:
-        self._out.write(frame)
+        if self._native is not None:
+            self._native.write(frame)
+        else:
+            self._out.write(frame)
 
     def write_bgr_batch(self, frames: np.ndarray) -> None:
-        for f in frames:
-            self._out.write(np.ascontiguousarray(f))
+        if self._native is not None:
+            self._native.write(frames)
+        else:
+            for f in frames:
+                self._out.write(np.ascontiguousarray(f))
 
     def write_gray_batch(self, frames_gray: np.ndarray) -> None:
         """Write gray frames replicated to BGR (reference: embed_process.py:126)."""
-        for f in frames_gray:
-            self._out.write(cv2.cvtColor(np.ascontiguousarray(f), cv2.COLOR_GRAY2BGR))
+        if self._native is not None:
+            self._native.write(np.repeat(frames_gray[..., None], 3, axis=-1))
+        else:
+            for f in frames_gray:
+                self._out.write(
+                    cv2.cvtColor(np.ascontiguousarray(f), cv2.COLOR_GRAY2BGR)
+                )
 
     def release(self) -> None:
-        self._out.release()
+        if self._native is not None:
+            self._native.close()
+            self._native = None
+        if self._out is not None:
+            self._out.release()
+            self._out = None
 
     def __enter__(self) -> "VideoWriter":
         return self

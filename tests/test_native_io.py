@@ -1,0 +1,83 @@
+"""Native FFmpeg I/O layer: lossless round trip, cv2 interop both ways."""
+
+import cv2
+import numpy as np
+import pytest
+
+from stegotpu.native import videoio
+
+pytestmark = pytest.mark.skipif(
+    not videoio.available(), reason=f"native lib unavailable: {videoio.build_error()}"
+)
+
+
+def _frames(rng, n=6, h=64, w=96):
+    return rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+
+
+def test_native_write_native_read_lossless(rng, tmp_path):
+    frames = _frames(rng)
+    path = str(tmp_path / "nat.avi")
+    with videoio.NativeVideoWriter(path, 96, 64, 24.0) as w:
+        w.write(frames)
+    with videoio.NativeVideoReader(path) as r:
+        assert (r.width, r.height) == (96, 64)
+        assert abs(r.fps - 24.0) < 0.01
+        got = r.read_batch(10, 64, 96)
+        assert got.shape == (6, 64, 96, 3)
+        np.testing.assert_array_equal(got, frames)
+        assert r.read_batch(4, 64, 96) is None  # EOF
+
+
+def test_native_write_cv2_read(rng, tmp_path):
+    """cv2 (the reference's stack) must read our FFV1 losslessly."""
+    frames = _frames(rng)
+    path = str(tmp_path / "nat2.avi")
+    with videoio.NativeVideoWriter(path, 96, 64, 24.0) as w:
+        for f in frames:
+            w.write(f)
+    cap = cv2.VideoCapture(path)
+    for i in range(6):
+        ok, f = cap.read()
+        assert ok
+        np.testing.assert_array_equal(f, frames[i])
+    cap.release()
+
+
+def test_cv2_write_native_read(rng, tmp_path):
+    frames = _frames(rng)
+    path = str(tmp_path / "cv.avi")
+    out = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"FFV1"), 24.0, (96, 64))
+    for f in frames:
+        out.write(f)
+    out.release()
+    with videoio.NativeVideoReader(path) as r:
+        got = r.read_batch(6, 64, 96)
+        np.testing.assert_array_equal(got, frames)
+
+
+def test_native_read_crop(rng, tmp_path):
+    frames = _frames(rng, n=2, h=70, w=100)  # not multiples of 8
+    path = str(tmp_path / "crop.avi")
+    with videoio.NativeVideoWriter(path, 100, 70, 30.0) as w:
+        w.write(frames)
+    with videoio.NativeVideoReader(path) as r:
+        got = r.read_batch(2, 64, 96)  # top-left crop
+        np.testing.assert_array_equal(got, frames[:, :64, :96])
+
+
+def test_native_batched_reads(rng, tmp_path):
+    frames = _frames(rng, n=7)
+    path = str(tmp_path / "batched.avi")
+    with videoio.NativeVideoWriter(path, 96, 64, 24.0) as w:
+        w.write(frames)
+    with videoio.NativeVideoReader(path) as r:
+        b1 = r.read_batch(4, 64, 96)
+        b2 = r.read_batch(4, 64, 96)
+        assert b1.shape[0] == 4 and b2.shape[0] == 3
+        np.testing.assert_array_equal(np.concatenate([b1, b2]), frames)
+
+
+def test_native_open_missing_file():
+    with pytest.raises(IOError):
+        videoio.NativeVideoReader("/nonexistent/file.avi")

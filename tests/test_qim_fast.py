@@ -1,0 +1,117 @@
+"""The image-layout fast path must be behaviorally identical to the baseline
+blockify kernel: same extracted bits, stego pixels within 1 LSB (float
+reassociation across the truncating cast), identical passthrough regions."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stegotpu.ops.qim import embed_frames, extract_frames
+from stegotpu.ops.qim_fast import (
+    build_state_plane,
+    embed_frames_fast,
+    extract_frames_fast,
+)
+
+DELTA = 20
+N_AC = 10
+
+
+def _inputs(rng, b=2, h=32, w=128, frac=1.0):
+    frames = rng.integers(0, 256, (b, h, w), dtype=np.uint8)
+    cap = (h // 8) * (w // 8) * N_AC
+    total = int(b * cap * frac)
+    payload = np.zeros(b * cap, np.uint8)
+    payload[:total] = rng.integers(0, 2, total)
+    return frames, payload.reshape(b, cap), total, cap
+
+
+def test_state_plane_values(rng):
+    frames, payload, total, cap = _inputs(rng, b=1, h=16, w=128, frac=0.5)
+    # total = cap/2: exactly half the blocks entered (N per block)
+    plane = np.asarray(
+        build_state_plane(jnp.asarray(payload), jnp.int32(total), 16, 128, N_AC)
+    )[0]
+    nb = 2 * 16
+    entered_blocks = -(-total // N_AC)
+    # block b covers rows 8*(b//16).., cols 8*(b%16)..
+    for blk in range(nb):
+        r, c = 8 * (blk // 16), 8 * (blk % 16)
+        cell = plane[r : r + 8, c : c + 8].flatten()
+        if blk < entered_blocks:
+            assert cell[0] == 2  # DC
+            n_bits = min(N_AC, total - blk * N_AC)
+            assert np.all(cell[1 : 1 + n_bits] <= 1)
+            np.testing.assert_array_equal(
+                cell[1 : 1 + n_bits], payload[0, blk * N_AC : blk * N_AC + n_bits]
+            )
+            assert np.all(cell[1 + n_bits :] >= 2)
+        else:
+            assert np.all(cell == 3)
+
+
+@pytest.mark.parametrize("frac", [1.0, 0.4, 0.0])
+def test_fast_embed_matches_baseline(rng, frac):
+    frames, payload, total, cap = _inputs(rng, frac=frac)
+    args = (jnp.asarray(frames), jnp.asarray(payload), jnp.int32(total),
+            jnp.float32(DELTA), N_AC)
+    stego_base, bpf_base = embed_frames(*args)
+    stego_fast, bpf_fast = embed_frames_fast(*args)
+    np.testing.assert_array_equal(np.asarray(bpf_base), np.asarray(bpf_fast))
+    diff = np.abs(
+        np.asarray(stego_base).astype(int) - np.asarray(stego_fast).astype(int)
+    )
+    assert diff.max() <= 1
+    # extracted payload identical and correct
+    ex_b = np.asarray(extract_frames(stego_base, jnp.float32(DELTA), N_AC))
+    ex_f = np.asarray(extract_frames_fast(stego_fast, jnp.float32(DELTA), N_AC))
+    np.testing.assert_array_equal(
+        ex_f.reshape(-1)[:total], payload.reshape(-1)[:total]
+    )
+    assert ex_b.shape == ex_f.shape
+
+
+def test_fast_extract_matches_baseline_exactly(rng):
+    """On lattice-snapped content the two extractors agree bit-for-bit."""
+    frames, payload, total, cap = _inputs(rng)
+    stego, _ = embed_frames(
+        jnp.asarray(frames), jnp.asarray(payload), jnp.int32(total),
+        jnp.float32(DELTA), N_AC,
+    )
+    ex_b = np.asarray(extract_frames(stego, jnp.float32(DELTA), N_AC))
+    ex_f = np.asarray(extract_frames_fast(stego, jnp.float32(DELTA), N_AC))
+    np.testing.assert_array_equal(ex_b, ex_f)
+
+
+def test_fast_passthrough_blocks_identical(rng):
+    frames, payload, total, cap = _inputs(rng, b=1, frac=0.25)
+    stego, _ = embed_frames_fast(
+        jnp.asarray(frames), jnp.asarray(payload), jnp.int32(total),
+        jnp.float32(DELTA), N_AC,
+    )
+    # blocks past the payload end: bit-identical passthrough
+    entered_blocks = -(-total // N_AC)
+    blocks_per_row = 128 // 8
+    first_untouched_row = 8 * (-(-entered_blocks // blocks_per_row))
+    np.testing.assert_array_equal(
+        np.asarray(stego)[0, first_untouched_row:], frames[0, first_untouched_row:]
+    )
+
+
+def test_fast_mid_block_boundary(rng):
+    """Payload ending mid-block: remaining slots of that block keep original
+    coefficients but the block IS transformed (reference semantics)."""
+    frames, payload, _, cap = _inputs(rng, b=1)
+    total = 3 * N_AC + 4
+    args = (jnp.asarray(frames), jnp.asarray(payload), jnp.int32(total),
+            jnp.float32(DELTA), N_AC)
+    stego_base, _ = embed_frames(*args)
+    stego_fast, _ = embed_frames_fast(*args)
+    diff = np.abs(
+        np.asarray(stego_base).astype(int) - np.asarray(stego_fast).astype(int)
+    )
+    assert diff.max() <= 1
+    ex = np.asarray(extract_frames_fast(stego_fast, jnp.float32(DELTA), N_AC))
+    np.testing.assert_array_equal(
+        ex.reshape(-1)[:total], payload.reshape(-1)[:total]
+    )
