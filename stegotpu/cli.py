@@ -21,7 +21,8 @@ from stegotpu.config import StegoConfig
 
 
 def _config_from_args(args) -> StegoConfig:
-    return StegoConfig(delta=args.delta, num_ac_coeffs=args.coeffs)
+    return StegoConfig(delta=args.delta, num_ac_coeffs=args.coeffs,
+                       kernel=getattr(args, "kernel", "auto"))
 
 
 def _add_qim_flags(p: argparse.ArgumentParser) -> None:
@@ -29,6 +30,8 @@ def _add_qim_flags(p: argparse.ArgumentParser) -> None:
                    help="QIM quantization step (default 20)")
     p.add_argument("--coeffs", type=int, default=10,
                    help="AC coefficients per 8x8 block, 1..63 (default 10)")
+    p.add_argument("--kernel", choices=["auto", "xla", "pallas"], default="auto",
+                   help="device kernel variant (default auto)")
 
 
 def cmd_genkey(args) -> int:
@@ -144,6 +147,8 @@ def build_parser() -> argparse.ArgumentParser:
         prog="stegotpu",
         description="TPU-native secure video steganography (ECC + DCT/QIM)",
     )
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="debug-level logging")
     sub = p.add_subparsers(dest="command", required=True)
 
     g = sub.add_parser("genkey", help="create a receiver ECC keypair (PEM)")
@@ -199,9 +204,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     from stegotpu.utils.jaxcache import enable_compilation_cache
+    from stegotpu.utils.logging import configure as configure_logging
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    configure_logging(verbose=getattr(args, "verbose", False))
     try:
         return args.fn(args)
     except (OSError, ValueError) as e:

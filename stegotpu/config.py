@@ -43,12 +43,16 @@ class StegoConfig:
         config_and_setup.py:136-140). Clamped to [0, 63].
     dims_bits: width of each secret-dimension header field.
     codec: fourcc for the lossless stego video container.
+    kernel: device kernel variant — 'xla' (baseline blockify/Kronecker,
+        default), 'pallas' (fused single-HBM-pass), or 'auto' (currently xla;
+        the A/B benchmark picks the default).
     """
 
     delta: int = 20
     num_ac_coeffs: int = 10
     dims_bits: int = DIMS_BITS
     codec: str = "FFV1"
+    kernel: str = "auto"
 
     def __post_init__(self) -> None:
         if self.delta < 0:
@@ -57,6 +61,8 @@ class StegoConfig:
             raise ValueError(
                 f"num_ac_coeffs must be in [0, {BLOCK_AREA - 1}], got {self.num_ac_coeffs}"
             )
+        if self.kernel not in ("auto", "xla", "pallas"):
+            raise ValueError(f"kernel must be auto/xla/pallas, got {self.kernel!r}")
 
     def frame_capacity_bits(self, height: int, width: int) -> int:
         """Embedding capacity of one (pre-cropped) frame in bits.

@@ -1,0 +1,232 @@
+"""Tkinter GUI: embed / extract / genkey with live log and quality readouts.
+
+Parity with the reference's app.py (C14 in SURVEY.md §2.1): three radio
+modes (app.py:166), file pickers, delta/coefficient spinboxes bounded
+[1,100] / [1,63] (app.py:231-234), a scrolled log fed by the pipeline, worker
+threads so the UI stays responsive (app.py:262-267), post-embed first-frame
+PSNR (app.py:342) and post-extract PSNR/SSIM evaluation against the original
+secret (app.py:386-425).
+
+Fixes vs the reference (not reproduced, per SURVEY.md §6):
+- worker threads never touch Tk state directly — results and log lines go
+  through a queue drained by `after()` on the main thread (the reference
+  mutates Tk from workers, app.py:90-97);
+- no global stdout redirection; the log uses an explicit callback;
+- the mode-selector frame is built once (the reference rebuilds pickers in a
+  loop and leaks stale widgets, app.py:169-221).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import tkinter as tk
+from tkinter import filedialog, messagebox, scrolledtext, ttk
+
+from stegotpu import crypto
+from stegotpu.config import StegoConfig
+
+
+class StegoApp:
+    def __init__(self, root: tk.Tk):
+        self.root = root
+        root.title("stegotpu — secure video steganography (TPU)")
+        self._q: queue.Queue = queue.Queue()
+        self.mode = tk.StringVar(value="embed")
+        self.delta = tk.IntVar(value=20)
+        self.coeffs = tk.IntVar(value=10)
+        self.paths = {
+            "cover": tk.StringVar(),
+            "secret": tk.StringVar(),
+            "stego_out": tk.StringVar(value="media/output/stego_video.avi"),
+            "stego_in": tk.StringVar(),
+            "image_out": tk.StringVar(value="media/output/extracted_secret.png"),
+            "pub_key": tk.StringVar(value="bob_public_key.pem"),
+            "priv_key": tk.StringVar(value="bob_private_key.pem"),
+        }
+        self._build()
+        self._drain()
+
+    # --- layout -------------------------------------------------------------
+
+    def _build(self) -> None:
+        top = ttk.Frame(self.root, padding=8)
+        top.pack(fill="x")
+        for mode, label in [("embed", "Embed"), ("extract", "Extract"),
+                            ("genkey", "Generate keys")]:
+            ttk.Radiobutton(top, text=label, value=mode, variable=self.mode,
+                            command=self._refresh_fields).pack(side="left", padx=4)
+
+        self.fields = ttk.Frame(self.root, padding=8)
+        self.fields.pack(fill="x")
+
+        params = ttk.Frame(self.root, padding=8)
+        params.pack(fill="x")
+        ttk.Label(params, text="delta [1,100]:").pack(side="left")
+        ttk.Spinbox(params, from_=1, to=100, textvariable=self.delta,
+                    width=5).pack(side="left", padx=4)
+        ttk.Label(params, text="AC coeffs [1,63]:").pack(side="left")
+        ttk.Spinbox(params, from_=1, to=63, textvariable=self.coeffs,
+                    width=5).pack(side="left", padx=4)
+        self.run_btn = ttk.Button(params, text="Run", command=self._run)
+        self.run_btn.pack(side="right")
+
+        self.log = scrolledtext.ScrolledText(self.root, height=18, width=90,
+                                             state="disabled")
+        self.log.pack(fill="both", expand=True, padx=8, pady=8)
+        for tag, color in [("INFO", "black"), ("OK", "dark green"),
+                           ("ERR", "red"), ("RUN", "navy")]:
+            self.log.tag_config(tag, foreground=color)
+        self._refresh_fields()
+
+    def _picker(self, row: int, label: str, var: tk.StringVar, save: bool = False,
+                types=None) -> None:
+        ttk.Label(self.fields, text=label).grid(row=row, column=0, sticky="w")
+        ttk.Entry(self.fields, textvariable=var, width=60).grid(row=row, column=1,
+                                                                padx=4)
+        def browse():
+            fn = (filedialog.asksaveasfilename if save
+                  else filedialog.askopenfilename)(filetypes=types or [])
+            if fn:
+                var.set(fn)
+        ttk.Button(self.fields, text="...", command=browse, width=3).grid(
+            row=row, column=2)
+
+    def _refresh_fields(self) -> None:
+        for child in self.fields.winfo_children():
+            child.destroy()
+        mode = self.mode.get()
+        if mode == "embed":
+            self._picker(0, "Cover video:", self.paths["cover"],
+                         types=[("video", "*.mp4 *.avi *.mkv"), ("all", "*")])
+            self._picker(1, "Secret image:", self.paths["secret"],
+                         types=[("image", "*.png *.jpg *.bmp"), ("all", "*")])
+            self._picker(2, "Stego output (.avi):", self.paths["stego_out"], save=True)
+            self._picker(3, "Receiver public key:", self.paths["pub_key"],
+                         types=[("PEM", "*.pem")])
+        elif mode == "extract":
+            self._picker(0, "Stego video:", self.paths["stego_in"],
+                         types=[("video", "*.avi"), ("all", "*")])
+            self._picker(1, "Extracted image out:", self.paths["image_out"], save=True)
+            self._picker(2, "Receiver private key:", self.paths["priv_key"],
+                         types=[("PEM", "*.pem")])
+            self._picker(3, "Original secret (optional, for PSNR/SSIM):",
+                         self.paths["secret"])
+        else:
+            self._picker(0, "Private key path:", self.paths["priv_key"], save=True)
+            self._picker(1, "Public key path:", self.paths["pub_key"], save=True)
+
+    # --- logging (thread-safe via queue) -------------------------------------
+
+    def _log(self, msg: str, tag: str = "INFO") -> None:
+        self._q.put(("log", msg, tag))
+
+    def _drain(self) -> None:
+        try:
+            while True:
+                kind, *rest = self._q.get_nowait()
+                if kind == "log":
+                    msg, tag = rest
+                    self.log.configure(state="normal")
+                    self.log.insert("end", msg + "\n", tag)
+                    self.log.see("end")
+                    self.log.configure(state="disabled")
+                elif kind == "done":
+                    self.run_btn.configure(state="normal")
+        except queue.Empty:
+            pass
+        self.root.after(100, self._drain)
+
+    # --- operations ----------------------------------------------------------
+
+    def _run(self) -> None:
+        mode = self.mode.get()
+        self.run_btn.configure(state="disabled")
+        worker = {"embed": self._do_embed, "extract": self._do_extract,
+                  "genkey": self._do_genkey}[mode]
+        threading.Thread(target=self._guard(worker), daemon=True).start()
+
+    def _guard(self, fn):
+        def wrapped():
+            try:
+                fn()
+            except Exception as e:  # surface, don't crash the worker silently
+                self._log(f"ERROR: {e}", "ERR")
+            finally:
+                self._q.put(("done",))
+        return wrapped
+
+    def _config(self) -> StegoConfig:
+        return StegoConfig(delta=self.delta.get(), num_ac_coeffs=self.coeffs.get())
+
+    def _do_genkey(self) -> None:
+        priv_p = self.paths["priv_key"].get()
+        pub_p = self.paths["pub_key"].get()
+        import os
+        if os.path.exists(priv_p) or os.path.exists(pub_p):
+            if not messagebox.askyesno("Overwrite keys?",
+                                       "Key files exist. Overwrite?"):
+                self._log("key generation cancelled", "INFO")
+                return
+            for p in (priv_p, pub_p):
+                if os.path.exists(p):
+                    os.remove(p)
+        self._log("generating SECP256R1 keypair...", "RUN")
+        crypto.setup_receiver_keys(priv_p, pub_p)
+        self._log(f"wrote {priv_p} and {pub_p}", "OK")
+
+    def _do_embed(self) -> None:
+        from stegotpu.pipeline import embed_image_in_video
+
+        self._log("embedding...", "RUN")
+        pub = crypto.serialize_public_compressed(
+            crypto.load_public_pem(self.paths["pub_key"].get())
+        )
+        res = embed_image_in_video(
+            self.paths["cover"].get(), self.paths["secret"].get(),
+            self.paths["stego_out"].get(), pub, self._config(),
+        )
+        if not res.success:
+            self._log(
+                f"EMBED FAILED: {res.bits_embedded}/{res.total_payload_bits} "
+                "bits before video ended", "ERR")
+            return
+        self._log(f"embedded {res.total_payload_bits} bits -> {res.output_path}", "OK")
+        psnr = res.first_frame_psnr
+        if psnr is not None:
+            self._log(f"first-frame PSNR (orig vs stego gray): {psnr:.2f} dB", "OK")
+
+    def _do_extract(self) -> None:
+        from stegotpu.evaluation import compare_images
+        from stegotpu.pipeline import extract_image_from_video
+
+        self._log("extracting...", "RUN")
+        priv = crypto.load_private_pem(self.paths["priv_key"].get())
+        out = self.paths["image_out"].get()
+        res = extract_image_from_video(
+            self.paths["stego_in"].get(), priv, self._config(), out,
+        )
+        if not res.success:
+            self._log(f"EXTRACT FAILED: {res.error}", "ERR")
+            return
+        self._log(
+            f"extracted {res.parts.secret_width}x{res.parts.secret_height} "
+            f"image -> {out}", "OK")
+        self._log("SHA3-256 integrity: " + ("OK" if res.hash_ok else "MISMATCH"),
+                  "OK" if res.hash_ok else "ERR")
+        orig = self.paths["secret"].get()
+        if orig:
+            cmp = compare_images(orig, out)
+            self._log(
+                f"vs original secret: PSNR {cmp.psnr:.2f} dB, "
+                f"SSIM {cmp.ssim:.4f} ({cmp.verdict})", "OK")
+
+
+def main() -> None:
+    root = tk.Tk()
+    StegoApp(root)
+    root.mainloop()
+
+
+if __name__ == "__main__":
+    main()

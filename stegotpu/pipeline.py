@@ -32,7 +32,7 @@ from stegotpu.bitstream import bits_to_bytes, bytes_to_bits, pad_bits
 from stegotpu.config import StegoConfig, crop_dims
 from stegotpu.metrics import psnr_np
 from stegotpu.ops.color import bgr_to_gray_np
-from stegotpu.ops.qim import embed_frames, extract_frames
+from stegotpu.ops.dispatch import embed_fn, extract_fn
 from stegotpu.payload import NeedMoreBits, PayloadParts, open_payload, parse_payload_bits
 from stegotpu.video import Prefetcher, VideoReader, VideoWriter, force_avi_path
 
@@ -113,7 +113,7 @@ def embed_image_in_video(
                         all_bits[cursor : cursor + batch_frames * cap_bits],
                         batch_frames * cap_bits,
                     ).reshape(batch_frames, cap_bits)
-                    stego, bpf = embed_frames(
+                    stego, bpf = embed_fn(config.kernel, h8, w8)(
                         jnp.asarray(gray),
                         jnp.asarray(seg),
                         jnp.int32(remaining),
@@ -175,7 +175,9 @@ def extract_image_from_video(
                         [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
                     )
                 bits = np.asarray(
-                    extract_frames(jnp.asarray(gray), delta, config.num_ac_coeffs)
+                    extract_fn(config.kernel, h8, w8)(
+                        jnp.asarray(gray), delta, config.num_ac_coeffs
+                    )
                 )[:n].reshape(-1)
                 collected.append(bits)
                 collected_bits += bits.size
@@ -230,7 +232,7 @@ def embed_payload_into_gray_frames(
     b, h, w = frames_gray.shape
     cap = config.frame_capacity_bits(h, w)
     seg = pad_bits(payload_bits[: b * cap], b * cap).reshape(b, cap)
-    stego, bpf = embed_frames(
+    stego, bpf = embed_fn(config.kernel, h, w)(
         jnp.asarray(frames_gray),
         jnp.asarray(seg),
         jnp.int32(min(payload_bits.size, b * cap)),
@@ -244,7 +246,8 @@ def extract_bits_from_gray_frames(
     frames_gray: np.ndarray, config: StegoConfig = StegoConfig()
 ) -> np.ndarray:
     """Extract the full capacity bitstream from a (B, H, W) gray frame stack."""
-    bits = extract_frames(
+    _, h, w = frames_gray.shape
+    bits = extract_fn(config.kernel, h, w)(
         jnp.asarray(frames_gray), jnp.float32(config.delta), config.num_ac_coeffs
     )
     return np.asarray(bits).reshape(-1)

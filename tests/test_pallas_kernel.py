@@ -1,0 +1,92 @@
+"""Fused Pallas kernel vs the XLA baseline: identical behavior.
+
+On the CPU test backend Pallas runs in interpreter-equivalent lowering, so
+these tests validate semantics; performance is covered by benchmarks/.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stegotpu.ops.pallas_kernel import (
+    embed_frames_pallas,
+    extract_frames_pallas,
+    pick_stripe,
+)
+from stegotpu.ops.qim import embed_frames, extract_frames
+
+DELTA = 20
+N_AC = 10
+
+
+def _inputs(rng, b=2, h=48, w=128, frac=1.0):
+    frames = rng.integers(0, 256, (b, h, w), dtype=np.uint8)
+    cap = (h // 8) * (w // 8) * N_AC
+    total = int(b * cap * frac)
+    payload = np.zeros(b * cap, np.uint8)
+    payload[:total] = rng.integers(0, 2, total)
+    return frames, payload.reshape(b, cap), total, cap
+
+
+def test_pick_stripe():
+    assert pick_stripe(1080) == 120
+    assert pick_stripe(720) == 120
+    assert pick_stripe(2160) == 120
+    assert pick_stripe(480) == 120
+    assert pick_stripe(96) == 96
+    assert pick_stripe(48) == 48
+    assert pick_stripe(64) == 8
+    with pytest.raises(ValueError):
+        pick_stripe(100)
+
+
+@pytest.mark.parametrize("frac", [1.0, 0.4, 0.0])
+def test_pallas_embed_matches_baseline(rng, frac):
+    frames, payload, total, cap = _inputs(rng, frac=frac)
+    args = (jnp.asarray(frames), jnp.asarray(payload), jnp.int32(total),
+            jnp.float32(DELTA), N_AC)
+    stego_b, bpf_b = embed_frames(*args)
+    stego_p, bpf_p = embed_frames_pallas(*args)
+    np.testing.assert_array_equal(np.asarray(bpf_b), np.asarray(bpf_p))
+    diff = np.abs(np.asarray(stego_b).astype(int) - np.asarray(stego_p).astype(int))
+    assert diff.max() <= 1  # float reassociation across truncating cast
+    # payload recovery exact
+    ex = np.asarray(extract_frames(stego_p, jnp.float32(DELTA), N_AC))
+    np.testing.assert_array_equal(
+        ex.reshape(-1)[:total], payload.reshape(-1)[:total]
+    )
+
+
+def test_pallas_extract_matches_baseline(rng):
+    frames, payload, total, cap = _inputs(rng)
+    stego, _ = embed_frames(
+        jnp.asarray(frames), jnp.asarray(payload), jnp.int32(total),
+        jnp.float32(DELTA), N_AC,
+    )
+    ex_b = np.asarray(extract_frames(stego, jnp.float32(DELTA), N_AC))
+    ex_p = np.asarray(extract_frames_pallas(stego, jnp.float32(DELTA), N_AC))
+    np.testing.assert_array_equal(ex_b, ex_p)
+
+
+def test_pallas_roundtrip_at_1080p_shape(rng):
+    """One realistic-resolution stripe config (120-row stripes)."""
+    frames, payload, total, cap = _inputs(rng, b=1, h=240, w=384)
+    stego, bpf = embed_frames_pallas(
+        jnp.asarray(frames), jnp.asarray(payload), jnp.int32(total),
+        jnp.float32(DELTA), N_AC,
+    )
+    assert int(np.asarray(bpf).sum()) == total
+    ex = np.asarray(extract_frames_pallas(stego, jnp.float32(DELTA), N_AC))
+    np.testing.assert_array_equal(ex.reshape(-1), payload.reshape(-1))
+
+
+def test_pallas_passthrough_and_boundary(rng):
+    frames, payload, _, cap = _inputs(rng, b=1, h=48, w=128)
+    total = 2 * N_AC + 3  # mid-block stop in block 2
+    stego, _ = embed_frames_pallas(
+        jnp.asarray(frames), jnp.asarray(payload), jnp.int32(total),
+        jnp.float32(DELTA), N_AC,
+    )
+    np.testing.assert_array_equal(np.asarray(stego)[0, 8:], frames[0, 8:])
+    ex = np.asarray(extract_frames_pallas(stego, jnp.float32(DELTA), N_AC))
+    np.testing.assert_array_equal(ex.reshape(-1)[:total], payload.reshape(-1)[:total])

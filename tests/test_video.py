@@ -1,0 +1,72 @@
+"""Video-layer unit tests: Prefetcher lifecycle (early close, exhaustion,
+error propagation, full-queue DONE delivery) and backend dispatch."""
+
+import time
+
+import numpy as np
+import pytest
+
+from stegotpu.native import videoio
+from stegotpu.video import Prefetcher, VideoReader, VideoWriter
+
+
+def test_prefetcher_full_iteration():
+    with Prefetcher(iter(range(10)), depth=2) as p:
+        assert list(p) == list(range(10))
+
+
+def test_prefetcher_early_close_does_not_hang():
+    def slow_gen():
+        for i in range(1000):
+            yield i
+
+    p = Prefetcher(slow_gen(), depth=2)
+    assert next(p) == 0
+    t0 = time.perf_counter()
+    p.close()
+    assert time.perf_counter() - t0 < 5.0
+
+
+def test_prefetcher_done_sentinel_with_full_queue():
+    """Producer finishes while the queue is full: the DONE sentinel must
+    still arrive (regression for a consumer-hang bug)."""
+    p = Prefetcher(iter(range(3)), depth=1)
+    time.sleep(0.3)  # let the worker fill the queue and block
+    assert list(p) == [0, 1, 2]  # terminates
+
+
+def test_prefetcher_propagates_errors():
+    def bad_gen():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        with Prefetcher(bad_gen(), depth=2) as p:
+            for _ in p:
+                pass
+
+
+@pytest.mark.skipif(not videoio.available(), reason="native lib unavailable")
+def test_reader_backend_forcing(rng, tmp_path):
+    frames = rng.integers(0, 256, (3, 64, 128, 3), dtype=np.uint8)
+    path = str(tmp_path / "v.avi")
+    with VideoWriter(path, 24.0, 128, 64, backend="native") as w:
+        w.write_bgr_batch(frames)
+    for backend in ("native", "cv2", "auto"):
+        with VideoReader(path, backend=backend) as r:
+            assert (r.info.width, r.info.height) == (128, 64)
+            got = np.concatenate(list(r.batches(2)))
+            np.testing.assert_array_equal(got, frames)
+
+
+def test_writer_gray_batch_roundtrip(rng, tmp_path):
+    from stegotpu.ops.color import bgr_to_gray_np
+
+    gray = rng.integers(0, 256, (2, 64, 128), dtype=np.uint8)
+    path = str(tmp_path / "g.avi")
+    with VideoWriter(path, 24.0, 128, 64) as w:
+        w.write_gray_batch(gray)
+    with VideoReader(path) as r:
+        got = np.concatenate(list(r.batches(4)))
+    # replicated channels survive FFV1 exactly; gray recovers exactly
+    np.testing.assert_array_equal(bgr_to_gray_np(got), gray)
