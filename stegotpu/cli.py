@@ -22,7 +22,8 @@ from stegotpu.config import StegoConfig
 
 def _config_from_args(args) -> StegoConfig:
     return StegoConfig(delta=args.delta, num_ac_coeffs=args.coeffs,
-                       kernel=getattr(args, "kernel", "auto"))
+                       kernel=getattr(args, "kernel", "auto"),
+                       verified_embed=getattr(args, "verified", False))
 
 
 def _add_qim_flags(p: argparse.ArgumentParser) -> None:
@@ -163,6 +164,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("output", help="output stego video path (.avi forced)")
     e.add_argument("--public-key", default="bob_public_key.pem")
     e.add_argument("--batch", type=int, default=8, help="frames per device batch")
+    e.add_argument("--verified", action="store_true",
+                   help="closed-loop embed repair: BER=0 even on saturated covers")
     _add_qim_flags(e)
     e.set_defaults(fn=cmd_embed)
 

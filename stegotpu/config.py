@@ -46,6 +46,10 @@ class StegoConfig:
     kernel: device kernel variant — 'xla' (baseline blockify/Kronecker,
         default), 'pallas' (fused single-HBM-pass), or 'auto' (currently xla;
         the A/B benchmark picks the default).
+    verified_embed: closed-loop repair of clipping-induced bit losses
+        (ops/verified.py) — guarantees BER=0 even on saturated covers, at the
+        cost of `repair_rounds` extra transform passes. The stego stays
+        decodable by any standard QIM extractor (including the reference).
     """
 
     delta: int = 20
@@ -53,6 +57,8 @@ class StegoConfig:
     dims_bits: int = DIMS_BITS
     codec: str = "FFV1"
     kernel: str = "auto"
+    verified_embed: bool = False
+    repair_rounds: int = 3
 
     def __post_init__(self) -> None:
         if self.delta < 0:

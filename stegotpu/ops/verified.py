@@ -1,0 +1,130 @@
+"""Verified embed: closed-loop repair of clipping-induced bit errors.
+
+The QIM algorithm loses bits when a block's IDCT output saturates at 0/255:
+the clip shifts coefficients and can flip round(c/delta) parity (BER ~2e-6 on
+uniform-random covers at delta=20/N=10; catastrophic on black/white regions).
+The reference has no defense — a single flipped bit kills the AES-GCM tag.
+
+This mode closes the loop ON DEVICE: after embedding, re-extract from the
+actual uint8 stego frame; for every 8x8 block containing a wrong bit, shift
+the block's DC coefficient so the pre-clip pixel range fits inside [0, 255]
+(DC adds uniformly to all 64 pixels and is NEVER extracted — flat index 0 is
+outside the payload slots), re-synthesize, and iterate. A flat-black block
+carrying payload becomes slightly gray instead of silently corrupting the
+data. Extraction is unchanged: the stego remains decodable by ANY standard
+QIM extractor, including the reference implementation.
+
+Cost: each repair round is one extra DCT+IDCT pass over the batch (cheap —
+the kernels are bandwidth-bound). Rounds with no remaining errors are
+near-no-ops, so a fixed round count keeps shapes static for jit. Blocks
+whose pre-clip dynamic range exceeds 255 are unfixable by a DC shift; they
+are counted in the returned residual.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from stegotpu.config import BLOCK
+from stegotpu.ops.dct import blockify, kron_dct_matrix, unblockify
+from stegotpu.ops.qim import qim_embed_coeffs, _ac_slice
+
+
+@functools.partial(jax.jit, static_argnames=("num_ac", "repair_rounds", "block"))
+def embed_frames_verified(
+    frames: jnp.ndarray,
+    payload_bits: jnp.ndarray,
+    total_bits: jnp.ndarray,
+    delta: jnp.ndarray,
+    num_ac: int,
+    repair_rounds: int = 2,
+    block: int = BLOCK,
+    bit_offset: jnp.ndarray | int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Embed with closed-loop repair.
+
+    Returns (stego uint8, bits_per_frame, residual_errors) where
+    residual_errors is the on-device count of payload slots still wrong after
+    the final round (0 in practice except pathological saturated covers).
+    """
+    b, h, w = frames.shape
+    nb = (h // block) * (w // block)
+    cap = nb * num_ac
+    total_bits = total_bits.astype(jnp.int32)
+    bit_offset = jnp.asarray(bit_offset, dtype=jnp.int32)
+    k = jnp.asarray(kron_dct_matrix(block))
+
+    slot_idx = (
+        bit_offset
+        + jnp.arange(b, dtype=jnp.int32)[:, None, None] * cap
+        + jnp.arange(nb, dtype=jnp.int32)[None, :, None] * num_ac
+        + jnp.arange(num_ac, dtype=jnp.int32)[None, None, :]
+    )
+    valid = slot_idx < total_bits
+    bits = payload_bits.reshape(b, nb, num_ac)
+    bits_f = bits.astype(jnp.float32)
+    block_first = slot_idx[..., 0]
+    entered = (block_first < total_bits)[..., None]
+
+    xb = blockify(frames.astype(jnp.float32), block)  # original blocks
+    y0 = jnp.einsum("bnc,kc->bnk", xb, k, preferred_element_type=jnp.float32)
+    ac0 = _ac_slice(y0, num_ac)
+
+    # standard directional QIM codes (reference semantics)
+    q = jnp.round(ac0 / delta)
+    parity = jnp.mod(q, 2.0)
+    adjust = jnp.where(parity != bits_f, jnp.where(bits_f == 1.0, 1.0, -1.0), 0.0)
+    q_codes = q + adjust
+
+    def synthesize_float(dc_shift):
+        """dc_shift: (B, nb) DC adjustment -> pre-clip float blocks (B, nb, 64)."""
+        ac_new = jnp.where(valid, q_codes * delta, ac0)
+        dc = y0[..., :1] + dc_shift[..., None]
+        y_new = jnp.concatenate([dc, ac_new, y0[..., 1 + num_ac :]], axis=-1)
+        x_out = jnp.einsum("bnk,kc->bnc", y_new, k, preferred_element_type=jnp.float32)
+        return jnp.where(entered, x_out, xb)
+
+    def finalize(x_float):
+        stego = unblockify(x_float, h, w, block)
+        return jnp.clip(stego, 0.0, 255.0).astype(jnp.uint8)
+
+    def recovered_bits(stego_u8):
+        yb = blockify(stego_u8.astype(jnp.float32), block)
+        y = jnp.einsum("bnc,kc->bnk", yb, k, preferred_element_type=jnp.float32)
+        qr = jnp.round(_ac_slice(y, num_ac) / delta)
+        return jnp.mod(qr, 2.0)
+
+    dc_shift = jnp.zeros((b, nb), jnp.float32)
+    x_float = synthesize_float(dc_shift)
+    stego = finalize(x_float)
+
+    # Each pixel carries DC/8 (orthonormal DC basis value is exactly 1/8), so
+    # shifting DC by 8*d moves every pixel of the block by d.
+    def repair(_, carry):
+        dc_shift, x_float, stego = carry
+        got = recovered_bits(stego)
+        bad_block = jnp.any(valid & (got != bits_f), axis=-1)  # (B, nb)
+        lo = jnp.min(x_float, axis=-1)
+        hi = jnp.max(x_float, axis=-1)
+        # lift out of the floor, but never past the ceiling (and vice versa)
+        up = jnp.minimum(jnp.maximum(-lo, 0.0), jnp.maximum(255.0 - hi, 0.0))
+        down = -jnp.minimum(jnp.maximum(hi - 255.0, 0.0), jnp.maximum(lo, 0.0))
+        pixel_shift = jnp.where(lo < 0.0, up, down)
+        dc_shift = dc_shift + jnp.where(bad_block, 8.0 * pixel_shift, 0.0)
+        x_float = synthesize_float(dc_shift)
+        return dc_shift, x_float, finalize(x_float)
+
+    dc_shift, x_float, stego = jax.lax.fori_loop(
+        0, repair_rounds, repair, (dc_shift, x_float, stego)
+    )
+
+    residual = jnp.sum(
+        jnp.where(valid & (recovered_bits(stego) != bits_f), 1, 0), dtype=jnp.int32
+    )
+    bits_per_frame = jnp.clip(
+        total_bits - bit_offset - jnp.arange(b, dtype=jnp.int32) * cap, 0, cap
+    )
+    return stego, bits_per_frame, residual

@@ -113,13 +113,27 @@ def embed_image_in_video(
                         all_bits[cursor : cursor + batch_frames * cap_bits],
                         batch_frames * cap_bits,
                     ).reshape(batch_frames, cap_bits)
-                    stego, bpf = embed_fn(config.kernel, h8, w8)(
-                        jnp.asarray(gray),
-                        jnp.asarray(seg),
-                        jnp.int32(remaining),
-                        delta,
-                        config.num_ac_coeffs,
-                    )
+                    if config.verified_embed:
+                        from stegotpu.ops.verified import embed_frames_verified
+
+                        stego, bpf, residual = embed_frames_verified(
+                            jnp.asarray(gray), jnp.asarray(seg),
+                            jnp.int32(remaining), delta, config.num_ac_coeffs,
+                            repair_rounds=config.repair_rounds,
+                        )
+                        if int(residual):
+                            log.warning(
+                                "verified embed: %d unrepairable slots "
+                                "(extremely saturated cover)", int(residual),
+                            )
+                    else:
+                        stego, bpf = embed_fn(config.kernel, h8, w8)(
+                            jnp.asarray(gray),
+                            jnp.asarray(seg),
+                            jnp.int32(remaining),
+                            delta,
+                            config.num_ac_coeffs,
+                        )
                     stego = np.asarray(stego)[:n]
                     bpf = np.asarray(bpf)[:n]
                     if frames_seen == 0 and n > 0:
