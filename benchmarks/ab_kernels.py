@@ -5,6 +5,12 @@ through the relay — every timed iteration must end in a scalar device->host
 readback, which forces the full dependency chain.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
+
 import time
 
 import numpy as np
@@ -92,8 +98,11 @@ def main(b=16, h=1080, w=1920, n_ac=10, iters=10):
             return jnp.sum(out, dtype=jnp.int32)
         return run
 
+    from stegotpu.ops import pallas_kernel
+
     for name, rt in [("baseline", qim.embed_and_extract_frames),
-                     ("fast", qim_fast.embed_and_extract_frames_fast)]:
+                     ("fast", qim_fast.embed_and_extract_frames_fast),
+                     ("pallas", pallas_kernel.embed_and_extract_frames_pallas)]:
         run = chained(rt)
         _ = float(run(frames, payload))  # compile + warmup
         t0 = time.perf_counter()

@@ -7,7 +7,12 @@ cross the host boundary (bulk readbacks through the TPU relay can stall).
 Prints one JSON line per delta.
 """
 
-from __future__ import annotations
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
+
 
 import json
 

@@ -64,6 +64,16 @@ def pick_stripe(h: int) -> int:
     raise ValueError(f"height {h} is not a multiple of 8")
 
 
+def _u8_to_f32(x):
+    """Mosaic lacks a direct u8->f32 cast; hop through int32."""
+    return x.astype(jnp.int32).astype(jnp.float32)
+
+
+def _f32_to_u8(x):
+    """Truncating cast (via int32, same toward-zero semantics as numpy)."""
+    return x.astype(jnp.int32).astype(jnp.uint8)
+
+
 def _dct2_stripe(x, pv, bh, w):
     """(S, W) f32 stripe -> coefficients, via MXU matmuls."""
     y = jnp.dot(pv, x, preferred_element_type=jnp.float32)  # vertical
@@ -84,8 +94,8 @@ def _embed_kernel(frames_ref, plane_ref, pv_f_ref, pv_i_ref, bh_f_ref,
     bh_i = bh_i_ref[:]
     delta = delta_ref[0]
 
-    x = frames_ref[0].astype(jnp.float32)   # block is (1, stripe, w)
-    plane = plane_ref[0]
+    x = _u8_to_f32(frames_ref[0])           # block is (1, stripe, w)
+    plane = plane_ref[0].astype(jnp.int32)
     y = _dct2_stripe(x, pv_f, bh_f, w)
 
     q = jnp.round(y / delta)
@@ -96,7 +106,7 @@ def _embed_kernel(frames_ref, plane_ref, pv_f_ref, pv_i_ref, bh_f_ref,
 
     x_out = _dct2_stripe(y_new, pv_i, bh_i, w)
     x_final = jnp.where(plane == 3, x, x_out)  # untouched blocks: passthrough
-    stego_ref[0] = jnp.clip(x_final, 0.0, 255.0).astype(jnp.uint8)
+    stego_ref[0] = _f32_to_u8(jnp.clip(x_final, 0.0, 255.0))
 
 
 def _extract_kernel(frames_ref, pv_f_ref, bh_f_ref, delta_ref, bits_ref, *,
@@ -104,9 +114,9 @@ def _extract_kernel(frames_ref, pv_f_ref, bh_f_ref, delta_ref, bits_ref, *,
     pv_f = pv_f_ref[:]
     bh_f = bh_f_ref[:]
     delta = delta_ref[0]
-    x = frames_ref[0].astype(jnp.float32)   # block is (1, stripe, w)
+    x = _u8_to_f32(frames_ref[0])           # block is (1, stripe, w)
     y = _dct2_stripe(x, pv_f, bh_f, w)
-    bits_ref[0] = jnp.mod(jnp.round(y / delta), 2.0).astype(jnp.uint8)
+    bits_ref[0] = _f32_to_u8(jnp.mod(jnp.round(y / delta), 2.0))
 
 
 def _interpret_default() -> bool:
