@@ -88,7 +88,12 @@ def cmd_extract(args) -> int:
 
 
 def cmd_evaluate(args) -> int:
-    from stegotpu.evaluation import evaluate_stego_result, measure_crypto_timings, security_summary
+    from stegotpu.evaluation import (
+        compare_videos,
+        evaluate_stego_result,
+        measure_crypto_timings,
+        security_summary,
+    )
 
     ev = evaluate_stego_result(
         args.original, args.stego, args.secret, args.extracted,
@@ -97,6 +102,10 @@ def cmd_evaluate(args) -> int:
     if ev.video:
         print(f"stego video (first frame): PSNR {ev.video.psnr:.2f} dB, "
               f"SSIM {ev.video.ssim:.4f} -> {ev.video.verdict}")
+    if args.all_frames:
+        vc = compare_videos(args.original, args.stego, max_frames=args.max_frames)
+        print(f"stego video ({vc.frames} frames): mean PSNR {vc.mean_psnr:.2f} dB "
+              f"(min {vc.min_psnr:.2f}), mean SSIM {vc.mean_ssim:.4f} -> {vc.verdict}")
     if ev.image:
         print(f"extracted image: PSNR {ev.image.psnr:.2f} dB, "
               f"SSIM {ev.image.ssim:.4f} -> {ev.image.verdict}")
@@ -184,6 +193,9 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--extracted", default=None, help="extracted secret image")
     v.add_argument("--dump-frames", default=None, help="dir for first-frame PNG dumps")
     v.add_argument("--crypto-timings", action="store_true")
+    v.add_argument("--all-frames", action="store_true",
+                   help="compare every frame pair, not just the first")
+    v.add_argument("--max-frames", type=int, default=None)
     v.set_defaults(fn=cmd_evaluate)
 
     c = sub.add_parser("capacity", help="embedding capacity of a cover video")

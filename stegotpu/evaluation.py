@@ -120,6 +120,62 @@ def evaluate_stego_result(
 
 
 @dataclasses.dataclass
+class VideoComparison:
+    frames: int
+    mean_psnr: float
+    min_psnr: float
+    mean_ssim: float
+
+    @property
+    def verdict(self) -> str:
+        return quality_verdict(self.mean_psnr)
+
+
+def compare_videos(
+    video_a: str | Path,
+    video_b: str | Path,
+    max_frames: int | None = None,
+    batch_frames: int = 8,
+) -> VideoComparison:
+    """Full-video gray PSNR/SSIM (the reference compares only the first
+    frame, evaluation.py:176-192; this walks every frame pair, batched)."""
+    from stegotpu.video import VideoReader
+
+    psnrs: list[float] = []
+    ssims: list[float] = []
+    with VideoReader(video_a) as ra, VideoReader(video_b) as rb:
+        h = min(ra.info.cropped[0], rb.info.cropped[0])
+        w = min(ra.info.cropped[1], rb.info.cropped[1])
+        it_a = ra.batches(batch_frames)
+        it_b = rb.batches(batch_frames)
+        done = False
+        while not done:
+            a = next(it_a, None)
+            b = next(it_b, None)
+            if a is None or b is None:
+                break
+            n = min(a.shape[0], b.shape[0])
+            ga = bgr_to_gray_np(a[:n, :h, :w])
+            gb = bgr_to_gray_np(b[:n, :h, :w])
+            for i in range(n):
+                psnrs.append(psnr_np(ga[i], gb[i]))
+                ssims.append(ssim_np(ga[i], gb[i]))
+                if max_frames and len(psnrs) >= max_frames:
+                    done = True
+                    break
+    if not psnrs:
+        raise IOError("no comparable frames")
+    finite = [p for p in psnrs if p != float("inf")]
+    mean_psnr = float(np.mean(finite)) if finite else float("inf")
+    return VideoComparison(
+        frames=len(psnrs),
+        mean_psnr=mean_psnr,
+        min_psnr=float(min(psnrs)),
+        mean_ssim=float(np.mean(ssims)),
+    )
+
+
+@dataclasses.dataclass
 class CapacityReport:
     width: int
     height: int

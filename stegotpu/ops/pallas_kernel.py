@@ -75,15 +75,18 @@ def _f32_to_u8(x):
 
 
 def _dct2_stripe(x, pv, bh, w):
-    """(S, W) f32 stripe -> coefficients, via MXU matmuls."""
+    """(S, W) f32 stripe -> coefficients, via two MXU matmuls.
+
+    Vertical: one (S, S) block-diagonal matmul. Horizontal: fold the lane
+    axis W = (W/128)*128 into sublanes — row-major, so (S, W) -> (S*W/128,
+    128) is a tile-order reinterpretation — and apply the 128x128
+    block-diagonal operator in a single fat matmul.
+    """
+    s = x.shape[0]
     y = jnp.dot(pv, x, preferred_element_type=jnp.float32)  # vertical
-    chunks = []
-    for k in range(w // _LANE):  # horizontal, per 128-lane chunk
-        chunks.append(
-            jnp.dot(y[:, k * _LANE : (k + 1) * _LANE], bh,
-                    preferred_element_type=jnp.float32)
-        )
-    return jnp.concatenate(chunks, axis=1)
+    yr = y.reshape(s * (w // _LANE), _LANE)
+    z = jnp.dot(yr, bh, preferred_element_type=jnp.float32)
+    return z.reshape(s, w)
 
 
 def _embed_kernel(frames_ref, plane_ref, pv_f_ref, pv_i_ref, bh_f_ref,
