@@ -29,7 +29,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from stegotpu.ops.qim import embed_and_extract_frames
+    from stegotpu.ops.pallas_kernel import (
+        embed_and_extract_frames_pallas as embed_and_extract_frames,
+    )
     from stegotpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -2,11 +2,13 @@
 
 Variants (all semantically identical, tested against each other):
 
-- 'xla'    — ops/qim.py: blockify + one (nb, 64) @ (64, 64) Kronecker matmul.
-             Fastest measured on TPU v5e (benchmarks/ab_kernels.py); default.
 - 'pallas' — ops/pallas_kernel.py: fused single-HBM-pass stripe kernel.
-             Requires W % 128 == 0; falls back to 'xla' otherwise.
-- 'auto'   — currently 'xla'.
+             3,596 fps 1080p round trip on v5e (benchmarks). Requires
+             W % 128 == 0 and a compiled-Pallas backend (TPU).
+- 'xla'    — ops/qim.py: blockify + one (nb, 64) @ (64, 64) Kronecker
+             matmul. 3,015 fps; works everywhere.
+- 'auto'   — pallas on TPU when the shape allows, xla otherwise (Pallas on
+             CPU runs interpreted, which is only for tests).
 """
 
 from __future__ import annotations
@@ -18,13 +20,27 @@ def _pallas_ok(w: int, h: int) -> bool:
     return w % 128 == 0 and h % 8 == 0
 
 
+def _pallas_compiled_backend() -> bool:
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+def _use_pallas(kernel: str, h: int, w: int) -> bool:
+    if not _pallas_ok(w, h):
+        return False
+    if kernel == "pallas":
+        return True
+    return kernel == "auto" and _pallas_compiled_backend()
+
+
 def embed_fn(kernel: str, h: int, w: int):
-    if kernel == "pallas" and _pallas_ok(w, h):
+    if _use_pallas(kernel, h, w):
         return pallas_kernel.embed_frames_pallas
     return qim.embed_frames
 
 
 def extract_fn(kernel: str, h: int, w: int):
-    if kernel == "pallas" and _pallas_ok(w, h):
+    if _use_pallas(kernel, h, w):
         return pallas_kernel.extract_frames_pallas
     return qim.extract_frames

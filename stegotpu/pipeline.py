@@ -98,6 +98,26 @@ def embed_image_in_video(
         cursor = 0
         frames_seen = 0
         first_orig = first_stego = None
+        # One-deep device pipeline: batch k+1 is dispatched before batch k's
+        # stego frames are pulled back for encoding, overlapping device
+        # compute with host decode (Prefetcher) and FFV1 encode. Possible
+        # because bits-per-frame is host-computable (capacity is static), so
+        # the payload cursor never waits on the device.
+        pending: tuple | None = None  # (batch_bgr, gray, n, bpf_np, stego_dev)
+
+        def drain(writer, item):
+            nonlocal first_orig, first_stego
+            batch_bgr, gray, n, bpf, stego_dev, is_first = item
+            stego = np.asarray(stego_dev)[:n]
+            if is_first:
+                first_orig = gray[0].copy()
+                first_stego = stego[0].copy()
+            for i in range(n):
+                if bpf[i] > 0:
+                    writer.write_gray_batch(stego[i : i + 1])
+                else:
+                    writer.write_bgr(batch_bgr[i])
+
         with VideoWriter(out_path, reader.info.fps, w8, h8, config.codec) as writer, \
                 Prefetcher(reader.batches(batch_frames)) as prefetched:
             for batch_bgr in prefetched:
@@ -116,7 +136,7 @@ def embed_image_in_video(
                     if config.verified_embed:
                         from stegotpu.ops.verified import embed_frames_verified
 
-                        stego, bpf, residual = embed_frames_verified(
+                        stego_dev, _bpf_dev, residual = embed_frames_verified(
                             jnp.asarray(gray), jnp.asarray(seg),
                             jnp.int32(remaining), delta, config.num_ac_coeffs,
                             repair_rounds=config.repair_rounds,
@@ -127,29 +147,36 @@ def embed_image_in_video(
                                 "(extremely saturated cover)", int(residual),
                             )
                     else:
-                        stego, bpf = embed_fn(config.kernel, h8, w8)(
+                        stego_dev, _bpf_dev = embed_fn(config.kernel, h8, w8)(
                             jnp.asarray(gray),
                             jnp.asarray(seg),
                             jnp.int32(remaining),
                             delta,
                             config.num_ac_coeffs,
                         )
-                    stego = np.asarray(stego)[:n]
-                    bpf = np.asarray(bpf)[:n]
-                    if frames_seen == 0 and n > 0:
-                        first_orig = gray[0].copy()
-                        first_stego = stego[0].copy()
-                    for i in range(n):
-                        if bpf[i] > 0:
-                            writer.write_gray_batch(stego[i : i + 1])
-                        else:
-                            writer.write_bgr(batch_bgr[i])
+                    # host-side bits-per-frame (identical to the device calc)
+                    bpf = np.clip(
+                        remaining - np.arange(n, dtype=np.int64) * cap_bits,
+                        0, cap_bits,
+                    ).astype(np.int64)
+                    if pending is not None:
+                        drain(writer, pending)
+                        pending = None
+                    pending = (batch_bgr, gray, n, bpf, stego_dev,
+                               frames_seen == 0 and n > 0)
                     cursor += int(bpf.sum())
                 else:
-                    # Payload complete: stream remaining frames as original color
-                    # (reference: embed_process.py:134-139).
+                    # Payload complete: stream remaining frames as original
+                    # color (reference: embed_process.py:134-139) — but only
+                    # after the in-flight stego batch is written, preserving
+                    # frame order.
+                    if pending is not None:
+                        drain(writer, pending)
+                        pending = None
                     writer.write_bgr_batch(batch_bgr)
                 frames_seen += n
+            if pending is not None:
+                drain(writer, pending)
 
     success = cursor >= total
     if not success:
