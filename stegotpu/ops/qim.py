@@ -157,6 +157,47 @@ def extract_frames(
 
 
 @functools.partial(jax.jit, static_argnames=("num_ac", "block"))
+def embed_extract_evaluate(
+    frames: jnp.ndarray,
+    payload_bits: jnp.ndarray,
+    total_bits: jnp.ndarray,
+    delta: jnp.ndarray,
+    num_ac: int,
+    block: int = BLOCK,
+):
+    """Streaming-evaluation step: embed + extract + on-device quality metrics.
+
+    One device dispatch returns (stego, bits_per_frame, extracted, metrics)
+    where metrics = {psnr_db, bit_errors, payload_bits}; only scalars need to
+    cross the host boundary for live monitoring (BASELINE.json config:
+    "4K60 streaming embed+extract with on-device PSNR/SSIM/BER evaluation").
+    """
+    stego, bits_per_frame = embed_frames(
+        frames, payload_bits, total_bits, delta, num_ac, block
+    )
+    extracted = extract_frames(stego, delta, num_ac, block)
+    d = frames.astype(jnp.float32) - stego.astype(jnp.float32)
+    mse = jnp.mean(d * d)
+    psnr_db = jnp.where(mse == 0, jnp.inf, 10.0 * jnp.log10(255.0 * 255.0 / mse))
+    b, _, _ = frames.shape
+    cap = payload_bits.shape[1]
+    slot = (
+        jnp.arange(b, dtype=jnp.int32)[:, None] * cap
+        + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    )
+    valid = slot < total_bits.astype(jnp.int32)
+    bit_errors = jnp.sum(
+        jnp.where(valid, (extracted != payload_bits).astype(jnp.int32), 0)
+    )
+    metrics = {
+        "psnr_db": psnr_db,
+        "bit_errors": bit_errors,
+        "payload_bits": jnp.minimum(total_bits.astype(jnp.int32), b * cap),
+    }
+    return stego, bits_per_frame, extracted, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("num_ac", "block"))
 def embed_and_extract_frames(
     frames: jnp.ndarray,
     payload_bits: jnp.ndarray,

@@ -271,6 +271,10 @@ class Prefetcher:
             except queue.Empty:
                 break
         self._thread.join(timeout=10.0)
+        if self._thread.is_alive():  # pragma: no cover - defensive
+            # The worker is stuck inside a decoder call; releasing the video
+            # source under it would be a use-after-free, so surface loudly.
+            raise RuntimeError("Prefetcher worker did not stop within 10s")
 
     def __enter__(self) -> "Prefetcher":
         return self
