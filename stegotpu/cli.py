@@ -152,6 +152,81 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_inspect(args) -> int:
+    """Parse a stego video's embedded header WITHOUT decrypting.
+
+    Shows the public payload fields (secret dims, field lengths, ciphertext
+    size, frames needed) — everything the format reveals to someone who knows
+    delta/num_ac_coeffs but holds no private key.
+    """
+    from stegotpu import payload as payload_mod
+    from stegotpu.ops.color import bgr_to_gray_np
+    from stegotpu.ops.dispatch import extract_fn
+    from stegotpu.video import VideoReader
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = _config_from_args(args)
+    with VideoReader(args.stego) as reader:
+        h8, w8 = reader.info.cropped
+        cap_bits = cfg.frame_capacity_bits(h8, w8)
+        collected: list[np.ndarray] = []
+        parts = None
+        for _ in range(64):  # header spans at most a few frames in practice
+            frame = reader.read_frame()
+            if frame is None:
+                break
+            gray = bgr_to_gray_np(frame)[None]
+            bits = np.asarray(
+                extract_fn(cfg.kernel, h8, w8)(
+                    jnp.asarray(gray), jnp.float32(cfg.delta), cfg.num_ac_coeffs
+                )
+            ).reshape(-1)
+            collected.append(bits)
+            buf = np.concatenate(collected)
+            if buf.size < payload_mod.FIXED_HEADER_BITS:
+                continue
+            try:
+                parts, consumed = payload_mod.parse_payload_bits(buf, cfg.dims_bits)
+                break
+            except payload_mod.NeedMoreBits as e:
+                # header parsed enough to know the ciphertext length?
+                # parse_payload_bits raises before returning partial info, so
+                # just keep reading until the ciphertext completes or we can
+                # at least report how much is needed.
+                needed = e.needed
+                if needed > 64 * cap_bits:
+                    print(f"stego: {reader.info.width}x{reader.info.height}, "
+                          f"capacity {cap_bits} bits/frame")
+                    print(f"header demands {needed} bits "
+                          f"(~{-(-needed // cap_bits)} frames) — truncated video "
+                          "or wrong delta/coeffs")
+                    return 1
+            except ValueError as e:
+                print(f"header does not parse: {e}", file=sys.stderr)
+                print("likely wrong --delta/--coeffs or not a stego video",
+                      file=sys.stderr)
+                return 1
+    if parts is None:
+        print("could not parse a complete payload from the video", file=sys.stderr)
+        return 1
+    total_bits = (payload_mod.FIXED_HEADER_BITS + 8 * len(parts.ciphertext))
+    print(f"video: {reader.info.width}x{reader.info.height} @ "
+          f"{reader.info.fps:.3g} fps; capacity {cap_bits} bits/frame "
+          f"(delta={cfg.delta}, coeffs={cfg.num_ac_coeffs})")
+    print(f"secret image: {parts.secret_width}x{parts.secret_height} grayscale")
+    print(f"ephemeral sender pubkey: {len(parts.sender_pub_compressed)} bytes "
+          f"(prefix 0x{parts.sender_pub_compressed[:1].hex()})")
+    print(f"HKDF salt: {len(parts.hkdf_salt)} bytes; "
+          f"GCM nonce: {len(parts.nonce)} bytes; tag: {len(parts.tag)} bytes")
+    print(f"SHA3-256 digest: {parts.sha3_hash.hex()}")
+    print(f"ciphertext: {len(parts.ciphertext)} bytes")
+    print(f"total payload: {total_bits} bits across "
+          f"{-(-total_bits // cap_bits)} frame(s)")
+    return 0
+
+
 def cmd_selftest(args) -> int:
     """End-to-end smoke: fixtures -> genkey -> embed -> extract -> compare.
 
@@ -259,6 +334,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="run the headline device benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    i = sub.add_parser("inspect", help="parse a stego header without decrypting")
+    i.add_argument("stego", help="stego video path")
+    _add_qim_flags(i)
+    i.set_defaults(fn=cmd_inspect)
 
     s = sub.add_parser("selftest", help="one-command end-to-end smoke test")
     s.add_argument("--dir", default=None, help="work dir (default: temp)")
