@@ -1,0 +1,90 @@
+"""Headline benchmark: 1080p embed+extract round-trip throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Methodology: the axon TPU relay's block_until_ready does not reliably wait,
+so throughput is measured by chaining K data-dependent round trips inside a
+single jit (each iteration's stego feeds the next embed via lax.fori_loop)
+and forcing one scalar device->host readback at the end — the dependency
+chain makes the device execute every iteration for real, and dispatch/relay
+latency amortizes out.
+
+The reference publishes no numbers (BASELINE.md): its scalar Python loop is
+far below real time. vs_baseline is therefore reported against the
+BASELINE.json north-star target of 2,000 fps 1080p embed+extract per chip
+(value/2000), the only quantitative bar on record.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+NORTH_STAR_FPS = 2000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from stegotpu.ops.pallas_kernel import (
+        embed_and_extract_frames_pallas as embed_and_extract_frames,
+    )
+    from stegotpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    b, h, w, n_ac, delta = 16, 1080, 1920, 10, 20.0
+    k_chain = 20
+    cap = (h // 8) * (w // 8) * n_ac
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(rng.integers(0, 256, (b, h, w), dtype=np.uint8))
+    payload = jax.device_put(rng.integers(0, 2, (b, cap), dtype=np.uint8))
+    total = jnp.int32(b * cap)
+    dlt = jnp.float32(delta)
+
+    # Round-trip sanity, computed ON DEVICE (bulk device->host transfers
+    # through the relay can stall; scalar readbacks are reliable). On
+    # uniform-random covers the algorithm itself loses ~2e-6 of bits to
+    # clipping in near-saturated blocks (the reference's scalar pipeline shows
+    # the identical rate — verified on the CPU backend); anything beyond that
+    # bound indicates a kernel bug.
+    @jax.jit
+    def ber_errors(f, p):
+        _, _, e = embed_and_extract_frames(f, p, total, dlt, n_ac)
+        return jnp.sum((e != p).astype(jnp.int32))
+
+    errors = int(ber_errors(frames, payload))
+    ber_val = errors / float(b * cap)
+    assert ber_val <= 1e-5, f"round-trip BER {ber_val:.2e} exceeds algorithmic bound"
+
+    @jax.jit
+    def chained(f, p):
+        def body(_, carry):
+            s, _, e = embed_and_extract_frames(carry, p, total, dlt, n_ac)
+            return s ^ (e[:, :1, None] & 0)  # keep extract in the dependency chain
+        out = jax.lax.fori_loop(0, k_chain, body, f)
+        return jnp.sum(out, dtype=jnp.int32)
+
+    _ = float(chained(frames, payload))  # compile + warmup (full completion)
+    t0 = time.perf_counter()
+    _ = float(chained(frames, payload))
+    dt = time.perf_counter() - t0
+
+    fps = b * k_chain / dt
+    print(
+        json.dumps(
+            {
+                "metric": "1080p_embed_extract_fps_per_chip",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / NORTH_STAR_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -146,9 +146,9 @@ def cmd_fixtures(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench
+    from stegotpu.benchmark import main as bench_main
 
-    bench.main()
+    bench_main()
     return 0
 
 
@@ -157,7 +157,9 @@ def cmd_inspect(args) -> int:
 
     Shows the public payload fields (secret dims, field lengths, ciphertext
     size, frames needed) — everything the format reveals to someone who knows
-    delta/num_ac_coeffs but holds no private key.
+    delta/num_ac_coeffs but holds no private key. Needs only the HEADER bits,
+    so it works on videos whose ciphertext spans arbitrarily many frames (or
+    is truncated).
     """
     from stegotpu import payload as payload_mod
     from stegotpu.ops.color import bgr_to_gray_np
@@ -172,8 +174,9 @@ def cmd_inspect(args) -> int:
         h8, w8 = reader.info.cropped
         cap_bits = cfg.frame_capacity_bits(h8, w8)
         collected: list[np.ndarray] = []
-        parts = None
-        for _ in range(64):  # header spans at most a few frames in practice
+        collected_bits = 0
+        parsed = None
+        while collected_bits < 4 * payload_mod.FIXED_HEADER_BITS:
             frame = reader.read_frame()
             if frame is None:
                 break
@@ -184,34 +187,25 @@ def cmd_inspect(args) -> int:
                 )
             ).reshape(-1)
             collected.append(bits)
-            buf = np.concatenate(collected)
-            if buf.size < payload_mod.FIXED_HEADER_BITS:
-                continue
+            collected_bits += bits.size
             try:
-                parts, consumed = payload_mod.parse_payload_bits(buf, cfg.dims_bits)
+                parsed = payload_mod.parse_header_bits(
+                    np.concatenate(collected), cfg.dims_bits
+                )
                 break
-            except payload_mod.NeedMoreBits as e:
-                # header parsed enough to know the ciphertext length?
-                # parse_payload_bits raises before returning partial info, so
-                # just keep reading until the ciphertext completes or we can
-                # at least report how much is needed.
-                needed = e.needed
-                if needed > 64 * cap_bits:
-                    print(f"stego: {reader.info.width}x{reader.info.height}, "
-                          f"capacity {cap_bits} bits/frame")
-                    print(f"header demands {needed} bits "
-                          f"(~{-(-needed // cap_bits)} frames) — truncated video "
-                          "or wrong delta/coeffs")
-                    return 1
+            except payload_mod.NeedMoreBits:
+                continue  # tiny frames: header spans several
             except ValueError as e:
                 print(f"header does not parse: {e}", file=sys.stderr)
                 print("likely wrong --delta/--coeffs or not a stego video",
                       file=sys.stderr)
                 return 1
-    if parts is None:
-        print("could not parse a complete payload from the video", file=sys.stderr)
+    if parsed is None:
+        print("could not parse a payload header from the video", file=sys.stderr)
+        print("likely wrong --delta/--coeffs or not a stego video", file=sys.stderr)
         return 1
-    total_bits = (payload_mod.FIXED_HEADER_BITS + 8 * len(parts.ciphertext))
+    parts, ct_len, header_bits = parsed
+    total_bits = header_bits + 8 * ct_len
     print(f"video: {reader.info.width}x{reader.info.height} @ "
           f"{reader.info.fps:.3g} fps; capacity {cap_bits} bits/frame "
           f"(delta={cfg.delta}, coeffs={cfg.num_ac_coeffs})")
@@ -221,7 +215,7 @@ def cmd_inspect(args) -> int:
     print(f"HKDF salt: {len(parts.hkdf_salt)} bytes; "
           f"GCM nonce: {len(parts.nonce)} bytes; tag: {len(parts.tag)} bytes")
     print(f"SHA3-256 digest: {parts.sha3_hash.hex()}")
-    print(f"ciphertext: {len(parts.ciphertext)} bytes")
+    print(f"ciphertext: {ct_len} bytes")
     print(f"total payload: {total_bits} bits across "
           f"{-(-total_bits // cap_bits)} frame(s)")
     return 0

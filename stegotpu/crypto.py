@@ -141,9 +141,20 @@ def setup_receiver_keys(
     (reference: config_and_setup.py:177-216 ``setup_kunci_ecc``).
     """
     private_path, public_path = Path(private_path), Path(public_path)
-    if not private_path.exists() or not public_path.exists():
+    if not private_path.exists():
         priv, _ = generate_keypair()
         save_keypair_pem(priv, private_path, public_path)
+    elif not public_path.exists():
+        # NEVER regenerate over an existing private key (stego videos
+        # encrypted to it would become undecryptable) — the public half is
+        # derivable from the private PEM.
+        priv = load_private_pem(private_path)
+        public_path.write_bytes(
+            priv.public_key().public_bytes(
+                encoding=serialization.Encoding.PEM,
+                format=serialization.PublicFormat.SubjectPublicKeyInfo,
+            )
+        )
     priv = load_private_pem(private_path)
     pub = load_public_pem(public_path)
     return priv, serialize_public_compressed(pub)

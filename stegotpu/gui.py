@@ -141,10 +141,24 @@ class StegoApp:
 
     def _run(self) -> None:
         mode = self.mode.get()
+        if mode == "genkey" and not self._confirm_genkey_overwrite():
+            self._log("key generation cancelled", "INFO")
+            return
         self.run_btn.configure(state="disabled")
         worker = {"embed": self._do_embed, "extract": self._do_extract,
                   "genkey": self._do_genkey}[mode]
         threading.Thread(target=self._guard(worker), daemon=True).start()
+
+    def _confirm_genkey_overwrite(self) -> bool:
+        """Overwrite confirmation MUST happen on the Tk main thread (this
+        runs in the button callback); workers never touch Tk state."""
+        import os
+
+        priv_p = self.paths["priv_key"].get()
+        pub_p = self.paths["pub_key"].get()
+        if not (os.path.exists(priv_p) or os.path.exists(pub_p)):
+            return True
+        return messagebox.askyesno("Overwrite keys?", "Key files exist. Overwrite?")
 
     def _guard(self, fn):
         def wrapped():
@@ -160,17 +174,14 @@ class StegoApp:
         return StegoConfig(delta=self.delta.get(), num_ac_coeffs=self.coeffs.get())
 
     def _do_genkey(self) -> None:
+        # overwrite was already confirmed on the main thread (_run)
+        import os
+
         priv_p = self.paths["priv_key"].get()
         pub_p = self.paths["pub_key"].get()
-        import os
-        if os.path.exists(priv_p) or os.path.exists(pub_p):
-            if not messagebox.askyesno("Overwrite keys?",
-                                       "Key files exist. Overwrite?"):
-                self._log("key generation cancelled", "INFO")
-                return
-            for p in (priv_p, pub_p):
-                if os.path.exists(p):
-                    os.remove(p)
+        for p in (priv_p, pub_p):
+            if os.path.exists(p):
+                os.remove(p)
         self._log("generating SECP256R1 keypair...", "RUN")
         crypto.setup_receiver_keys(priv_p, pub_p)
         self._log(f"wrote {priv_p} and {pub_p}", "OK")

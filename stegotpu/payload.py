@@ -164,6 +164,34 @@ class _Cursor:
         return bits_to_bytes(self.take(8 * n_bytes))
 
 
+def parse_header_bits(
+    bits: BitArray, dims_bits: int = DIMS_BITS
+) -> tuple[PayloadParts, int, int]:
+    """Parse ONLY the header (everything before the ciphertext).
+
+    Returns (parts-with-empty-ciphertext, ciphertext_bytes, bits_consumed).
+    Raises NeedMoreBits if the buffer ends mid-header. Useful for inspection
+    tools that must not require the whole payload to be present.
+    """
+    cur = _Cursor(bits)
+    width = cur.take_int(dims_bits)
+    height = cur.take_int(dims_bits)
+    if width == 0 or height == 0:
+        raise ValueError("parsed secret dimensions are 0x0 — wrong key/params or corrupt stego")
+    parts = PayloadParts(
+        secret_width=width,
+        secret_height=height,
+        sender_pub_compressed=cur.take_bytes_field(),
+        hkdf_salt=cur.take_bytes_field(),
+        sha3_hash=cur.take_bytes_field(),
+        nonce=cur.take_bytes_field(),
+        tag=cur.take_bytes_field(),
+        ciphertext=b"",
+    )
+    ct_len = cur.take_int(CIPHERTEXT_LEN_BITS)
+    return parts, ct_len, cur.pos
+
+
 def parse_payload_bits(
     bits: BitArray, dims_bits: int = DIMS_BITS
 ) -> tuple[PayloadParts, int]:
@@ -173,29 +201,11 @@ def parse_payload_bits(
     Returns (parts, bits_consumed). Raises NeedMoreBits if the buffer ends
     mid-field — the caller should extract more frames and retry.
     """
+    parts, ct_len, pos = parse_header_bits(bits, dims_bits)
     cur = _Cursor(bits)
-    width = cur.take_int(dims_bits)
-    height = cur.take_int(dims_bits)
-    if width == 0 or height == 0:
-        raise ValueError("parsed secret dimensions are 0x0 — wrong key/params or corrupt stego")
-    sender_pub = cur.take_bytes_field()
-    salt = cur.take_bytes_field()
-    sha3 = cur.take_bytes_field()
-    nonce = cur.take_bytes_field()
-    tag = cur.take_bytes_field()
-    ct_len = cur.take_int(CIPHERTEXT_LEN_BITS)
+    cur.pos = pos
     ciphertext = bits_to_bytes(cur.take(8 * ct_len)) if ct_len else b""
-    parts = PayloadParts(
-        secret_width=width,
-        secret_height=height,
-        sender_pub_compressed=sender_pub,
-        hkdf_salt=salt,
-        sha3_hash=sha3,
-        nonce=nonce,
-        tag=tag,
-        ciphertext=ciphertext,
-    )
-    return parts, cur.pos
+    return dataclasses.replace(parts, ciphertext=ciphertext), cur.pos
 
 
 def open_payload(parts: PayloadParts, receiver_private) -> tuple[bytes | None, bool]:

@@ -206,6 +206,7 @@ def extract_image_from_video(
 
         collected: list[np.ndarray] = []
         collected_bits = 0
+        needed = payload_mod.FIXED_HEADER_BITS  # lower bound, grows as parsed
         parts = None
         with Prefetcher(reader.batches(batch_frames)) as prefetched:
             for batch_bgr in prefetched:
@@ -222,13 +223,17 @@ def extract_image_from_video(
                 )[:n].reshape(-1)
                 collected.append(bits)
                 collected_bits += bits.size
-                if collected_bits >= payload_mod.FIXED_HEADER_BITS:
+                # only pay the concatenate+parse when enough bits could exist
+                # (the NeedMoreBits watermark makes this amortized-linear)
+                if collected_bits >= needed:
                     buf = np.concatenate(collected)
+                    collected = [buf]
                     try:
                         parts, _consumed = parse_payload_bits(buf, config.dims_bits)
                         break
-                    except NeedMoreBits:
-                        continue  # ciphertext (or header) spans more frames
+                    except NeedMoreBits as e:
+                        needed = e.needed  # ciphertext/header spans more frames
+                        continue
                     except ValueError as e:
                         return ExtractResult(False, error=str(e))
         if parts is None:
@@ -237,7 +242,15 @@ def extract_image_from_video(
                 error=f"video ended before payload complete ({collected_bits} bits read)",
             )
 
-    plaintext, hash_ok = open_payload(parts, receiver_private)
+    try:
+        plaintext, hash_ok = open_payload(parts, receiver_private)
+    except ValueError as e:
+        # e.g. garbage bits parsed into a structurally-plausible header whose
+        # "compressed point" is not on the curve — keep the structured
+        # error contract rather than leaking an exception
+        return ExtractResult(False, parts=parts,
+                             error=f"payload fields invalid ({e}) — wrong "
+                                   "delta/coeffs or not a stego video")
     if plaintext is None:
         return ExtractResult(False, parts=parts, error="AES-GCM authentication failed")
     if not hash_ok:

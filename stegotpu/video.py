@@ -36,14 +36,15 @@ def force_avi_path(path: str | Path) -> str:
 
 
 def _use_native(backend: str) -> bool:
-    if backend == "cv2" or os.environ.get("STEGOTPU_VIDEO_BACKEND") == "cv2":
-        return False
+    # an EXPLICIT backend choice always wins over the env kill-switch
     if backend == "native":
         if not native_io.available():
             raise RuntimeError(
                 f"native video backend requested but unavailable: {native_io.build_error()}"
             )
         return True
+    if backend == "cv2" or os.environ.get("STEGOTPU_VIDEO_BACKEND") == "cv2":
+        return False
     return native_io.available()
 
 

@@ -1,0 +1,80 @@
+"""Regressions for code-review findings: key re-derivation, structured
+extraction errors on garbage headers, header-only parsing, backend
+precedence."""
+
+import numpy as np
+import pytest
+
+from stegotpu import crypto
+from stegotpu.payload import (
+    FIXED_HEADER_BITS,
+    NeedMoreBits,
+    PayloadParts,
+    build_payload_bits,
+    parse_header_bits,
+)
+
+
+def test_setup_keys_rederives_public_not_regenerate(tmp_path):
+    """Missing public PEM must NOT nuke the private key."""
+    priv_p, pub_p = tmp_path / "k.pem", tmp_path / "p.pem"
+    priv1, pub_c1 = crypto.setup_receiver_keys(priv_p, pub_p)
+    pub_p.unlink()
+    priv2, pub_c2 = crypto.setup_receiver_keys(priv_p, pub_p)
+    assert pub_c1 == pub_c2  # same key, public half re-derived
+    assert priv1.private_numbers().private_value == priv2.private_numbers().private_value
+    assert pub_p.exists()
+
+
+def test_parse_header_bits_without_ciphertext():
+    parts = PayloadParts(
+        secret_width=100, secret_height=50,
+        sender_pub_compressed=b"\x02" + b"\x11" * 32,
+        hkdf_salt=b"\x22" * 16, sha3_hash=b"\x33" * 32,
+        nonce=b"\x44" * 12, tag=b"\x55" * 16,
+        ciphertext=b"\x66" * 5000,
+    )
+    bits = build_payload_bits(parts)
+    # give ONLY the header bits — ciphertext absent entirely
+    hdr, ct_len, consumed = parse_header_bits(bits[:FIXED_HEADER_BITS])
+    assert (hdr.secret_width, hdr.secret_height) == (100, 50)
+    assert ct_len == 5000
+    assert consumed == FIXED_HEADER_BITS
+    assert hdr.ciphertext == b""
+    with pytest.raises(NeedMoreBits):
+        parse_header_bits(bits[:500])
+
+
+def test_extract_invalid_point_returns_structured_error(rng, tmp_path):
+    """Garbage bits forming a plausible header with an off-curve 'point'
+    must produce ExtractResult(error=...), not an exception."""
+    from stegotpu import fixtures
+    from stegotpu.config import StegoConfig
+    from stegotpu.pipeline import extract_image_from_video
+
+    # a NON-stego video: extraction reads noise coefficients
+    fixtures.make_cover_video(tmp_path / "plain.mp4", 320, 240, frames=4,
+                              kind="noise", seed=9)
+    priv, _ = crypto.generate_keypair()
+    res = extract_image_from_video(tmp_path / "plain.mp4", priv, StegoConfig())
+    assert not res.success
+    assert res.error  # structured failure, whatever stage it died at
+
+
+def test_explicit_native_backend_beats_env(monkeypatch, tmp_path, rng):
+    from stegotpu.native import videoio
+    from stegotpu.video import VideoWriter
+
+    if not videoio.available():
+        pytest.skip("native lib unavailable")
+    monkeypatch.setenv("STEGOTPU_VIDEO_BACKEND", "cv2")
+    with VideoWriter(tmp_path / "x.avi", 24.0, 128, 64, backend="native") as w:
+        assert w._native is not None  # explicit choice wins over env
+        w.write_bgr_batch(rng.integers(0, 256, (1, 64, 128, 3), dtype=np.uint8))
+
+
+def test_cli_bench_import_is_packaged():
+    """`stegotpu bench` must not rely on the repo-root bench.py module."""
+    from stegotpu import benchmark
+
+    assert callable(benchmark.main)
