@@ -221,6 +221,24 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def cmd_steganalyze(args) -> int:
+    """Detect QIM embedding in a video and estimate delta (no keys needed)."""
+    from stegotpu.steganalysis import analyze_video
+
+    rep = analyze_video(args.video, num_ac=args.coeffs,
+                        max_frames=args.max_frames)
+    print(f"verdict: {rep.verdict} "
+          f"(detection ratio {rep.detection_ratio:.1f}x over background)")
+    if rep.detected:
+        print(f"estimated delta: {rep.best_delta} "
+              f"(lattice score {rep.best_score:.3f} vs background "
+              f"{rep.background:.3f})")
+        print("note: QIM lattice structure is inherently detectable — "
+              "confidentiality rests on the AES-GCM/ECDH layer, not on "
+              "the embedding's invisibility")
+    return 0
+
+
 def cmd_selftest(args) -> int:
     """End-to-end smoke: fixtures -> genkey -> embed -> extract -> compare.
 
@@ -333,6 +351,13 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("stego", help="stego video path")
     _add_qim_flags(i)
     i.set_defaults(fn=cmd_inspect)
+
+    z = sub.add_parser("steganalyze",
+                       help="detect QIM embedding / estimate delta (no keys)")
+    z.add_argument("video")
+    z.add_argument("--coeffs", type=int, default=10)
+    z.add_argument("--max-frames", type=int, default=4)
+    z.set_defaults(fn=cmd_steganalyze)
 
     s = sub.add_parser("selftest", help="one-command end-to-end smoke test")
     s.add_argument("--dir", default=None, help="work dir (default: temp)")

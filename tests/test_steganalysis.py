@@ -1,0 +1,45 @@
+"""Steganalysis: detects stego video at the right delta; clean video passes."""
+
+import numpy as np
+import pytest
+
+from stegotpu import crypto, fixtures
+from stegotpu.config import StegoConfig
+from stegotpu.pipeline import embed_image_in_video
+from stegotpu.steganalysis import analyze_frames, analyze_video
+
+
+@pytest.fixture(scope="module")
+def stego_and_clean(tmp_path_factory):
+    d = tmp_path_factory.mktemp("steg")
+    fixtures.make_secret_image(d / "s.png", 48, 48, kind="noise", seed=5)
+    fixtures.make_cover_video(d / "clean.mp4", 320, 240, frames=6, kind="noise",
+                              seed=11)
+    _, pub_c = crypto.setup_receiver_keys(d / "k.pem", d / "p.pem")
+    res = embed_image_in_video(d / "clean.mp4", d / "s.png", d / "stego",
+                               pub_c, StegoConfig(delta=20, num_ac_coeffs=10))
+    assert res.success
+    return d / "clean.mp4", res.output_path
+
+
+def test_detects_stego_at_true_delta(stego_and_clean):
+    clean, stego = stego_and_clean
+    rep = analyze_video(stego, max_frames=2)
+    assert rep.detected
+    # delta=20 or a divisor structure; the top candidate must be 20
+    assert rep.best_delta == 20
+    assert rep.detection_ratio > 3.0
+
+
+def test_clean_video_not_flagged(stego_and_clean):
+    clean, _ = stego_and_clean
+    rep = analyze_video(clean, max_frames=2)
+    assert not rep.detected
+    assert rep.detection_ratio < 3.0
+
+
+def test_analyze_frames_direct(rng):
+    frames = rng.integers(40, 216, (2, 64, 64), dtype=np.uint8)
+    rep = analyze_frames(frames)
+    assert rep.scores.shape == rep.deltas.shape
+    assert not rep.detected
