@@ -81,9 +81,30 @@ def cmd_extract(args) -> int:
     if not res.success:
         print(f"EXTRACT FAILED: {res.error}", file=sys.stderr)
         return 1
-    print(f"extracted {res.parts.secret_width}x{res.parts.secret_height} image "
-          f"to '{res.output_path}'")
-    print("SHA3-256 integrity:", "OK" if res.hash_ok else "MISMATCH (image may be corrupt)")
+    if res.is_raw_data:
+        print(f"extracted {len(res.data)} bytes of raw data to '{res.output_path}'")
+    else:
+        print(f"extracted {res.parts.secret_width}x{res.parts.secret_height} "
+              f"image to '{res.output_path}'")
+    print("SHA3-256 integrity:", "OK" if res.hash_ok else "MISMATCH (payload may be corrupt)")
+    return 0
+
+
+def cmd_embed_data(args) -> int:
+    from stegotpu.pipeline import embed_data_in_video
+
+    data = Path(args.data_file).read_bytes()
+    pub = crypto.serialize_public_compressed(crypto.load_public_pem(args.public_key))
+    res = embed_data_in_video(
+        args.cover, data, args.output, pub, _config_from_args(args),
+        batch_frames=args.batch,
+    )
+    if not res.success:
+        print(f"EMBED-DATA FAILED: {res.bits_embedded}/{res.total_payload_bits} "
+              "bits embedded before the video ended", file=sys.stderr)
+        return 1
+    print(f"embedded {len(data)} bytes ({res.total_payload_bits} payload bits) "
+          f"into '{res.output_path}'")
     return 0
 
 
@@ -209,7 +230,10 @@ def cmd_inspect(args) -> int:
     print(f"video: {reader.info.width}x{reader.info.height} @ "
           f"{reader.info.fps:.3g} fps; capacity {cap_bits} bits/frame "
           f"(delta={cfg.delta}, coeffs={cfg.num_ac_coeffs})")
-    print(f"secret image: {parts.secret_width}x{parts.secret_height} grayscale")
+    if parts.is_raw_data:
+        print("payload type: raw data (extension mode)")
+    else:
+        print(f"secret image: {parts.secret_width}x{parts.secret_height} grayscale")
     print(f"ephemeral sender pubkey: {len(parts.sender_pub_compressed)} bytes "
           f"(prefix 0x{parts.sender_pub_compressed[:1].hex()})")
     print(f"HKDF salt: {len(parts.hkdf_salt)} bytes; "
@@ -310,7 +334,17 @@ def build_parser() -> argparse.ArgumentParser:
     _add_qim_flags(e)
     e.set_defaults(fn=cmd_embed)
 
-    x = sub.add_parser("extract", help="extract the secret image from a stego video")
+    ed = sub.add_parser("embed-data",
+                        help="embed an arbitrary file's bytes (extension mode)")
+    ed.add_argument("cover", help="cover video path")
+    ed.add_argument("data_file", help="file whose bytes to embed")
+    ed.add_argument("output", help="output stego video path (.avi forced)")
+    ed.add_argument("--public-key", default="bob_public_key.pem")
+    ed.add_argument("--batch", type=int, default=8)
+    _add_qim_flags(ed)
+    ed.set_defaults(fn=cmd_embed_data)
+
+    x = sub.add_parser("extract", help="extract the secret (image or raw data)")
     x.add_argument("stego", help="stego video path")
     x.add_argument("output", help="output image path (PNG)")
     x.add_argument("--private-key", default="bob_private_key.pem")

@@ -35,6 +35,13 @@ from stegotpu.config import (
     LEN_FIELD_BITS,
 )
 
+# Extension: raw-byte payloads (not in the reference, which only embeds
+# grayscale images). The dims header carries this marker instead of real
+# image dimensions; the payload length is the ciphertext length. A reference
+# extractor encountering it fails cleanly at image reassembly (the marker
+# product mismatches any plausible byte count), it cannot misdecode.
+RAW_DATA_DIMS = (0xFFFF, 0xFFFF)
+
 # Fixed header size for the standard field sizes (reference hardcodes 976,
 # extract_process.py:50-53). Derived here: dims + 5 length-prefixed fields +
 # 32-bit ciphertext length.
@@ -62,6 +69,10 @@ class PayloadParts:
     nonce: bytes
     tag: bytes
     ciphertext: bytes
+
+    @property
+    def is_raw_data(self) -> bool:
+        return (self.secret_width, self.secret_height) == RAW_DATA_DIMS
 
 
 def dims_header_bits(width: int, height: int, dims_bits: int = DIMS_BITS) -> BitArray:

@@ -60,10 +60,15 @@ class EmbedResult:
 class ExtractResult:
     success: bool
     pixels: np.ndarray | None = None
+    data: bytes | None = None      # raw-byte payloads (extension mode)
     hash_ok: bool = False
     parts: PayloadParts | None = None
     error: str | None = None
     output_path: str | None = None
+
+    @property
+    def is_raw_data(self) -> bool:
+        return self.parts is not None and self.parts.is_raw_data
 
 
 def embed_image_in_video(
@@ -75,13 +80,38 @@ def embed_image_in_video(
     batch_frames: int = 8,
 ) -> EmbedResult:
     """Embed an encrypted secret image into a video, file to file."""
-    if config.delta <= 0:
-        raise ValueError("embedding requires delta >= 1 (delta <= 0 embeds nothing)")
-
     width, height, img_bits = image_codec.image_to_bits(secret_image)
     img_bytes = bits_to_bytes(img_bits)
+    return _embed_payload(video_in, img_bytes, width, height, video_out,
+                          receiver_pub_compressed, config, batch_frames)
+
+
+def embed_data_in_video(
+    video_in: str | Path,
+    data: bytes,
+    video_out: str | Path,
+    receiver_pub_compressed: bytes,
+    config: StegoConfig = StegoConfig(),
+    batch_frames: int = 8,
+) -> EmbedResult:
+    """Embed arbitrary encrypted bytes (extension mode, not in the reference).
+
+    Uses the same wire format with the RAW_DATA_DIMS marker in the dims
+    header; extraction auto-detects it and returns the raw bytes.
+    """
+    w, h = payload_mod.RAW_DATA_DIMS
+    return _embed_payload(video_in, data, w, h, video_out,
+                          receiver_pub_compressed, config, batch_frames)
+
+
+def _embed_payload(
+    video_in, plaintext: bytes, width: int, height: int, video_out,
+    receiver_pub_compressed: bytes, config: StegoConfig, batch_frames: int,
+) -> EmbedResult:
+    if config.delta <= 0:
+        raise ValueError("embedding requires delta >= 1 (delta <= 0 embeds nothing)")
     all_bits, _parts = payload_mod.seal_payload(
-        img_bytes, width, height, receiver_pub_compressed, config.dims_bits
+        plaintext, width, height, receiver_pub_compressed, config.dims_bits
     )
     total = int(all_bits.size)
 
@@ -208,6 +238,35 @@ def extract_image_from_video(
         collected_bits = 0
         needed = payload_mod.FIXED_HEADER_BITS  # lower bound, grows as parsed
         parts = None
+        parse_error: str | None = None
+        # One-deep device pipeline (mirror of the embed loop): batch k+1 is
+        # dispatched before batch k's bits come back. At most one speculative
+        # batch is decoded+extracted past the payload end — harmless.
+        pending: tuple | None = None  # (n, device_bits)
+
+        def ingest(item) -> bool:
+            """Pull a device result; True when the payload parse completed."""
+            nonlocal collected_bits, needed, parts, parse_error
+            n, dev = item
+            bits = np.asarray(dev)[:n].reshape(-1)
+            collected.append(bits)
+            collected_bits += bits.size
+            # only pay the concatenate+parse when enough bits could exist
+            # (the NeedMoreBits watermark makes this amortized-linear)
+            if collected_bits < needed:
+                return False
+            buf = np.concatenate(collected)
+            collected[:] = [buf]
+            try:
+                parts, _consumed = parse_payload_bits(buf, config.dims_bits)
+                return True
+            except NeedMoreBits as e:
+                needed = e.needed  # ciphertext/header spans more frames
+                return False
+            except ValueError as e:
+                parse_error = str(e)
+                return True
+
         with Prefetcher(reader.batches(batch_frames)) as prefetched:
             for batch_bgr in prefetched:
                 n = batch_bgr.shape[0]
@@ -216,26 +275,18 @@ def extract_image_from_video(
                     gray = np.concatenate(
                         [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
                     )
-                bits = np.asarray(
-                    extract_fn(config.kernel, h8, w8)(
-                        jnp.asarray(gray), delta, config.num_ac_coeffs
-                    )
-                )[:n].reshape(-1)
-                collected.append(bits)
-                collected_bits += bits.size
-                # only pay the concatenate+parse when enough bits could exist
-                # (the NeedMoreBits watermark makes this amortized-linear)
-                if collected_bits >= needed:
-                    buf = np.concatenate(collected)
-                    collected = [buf]
-                    try:
-                        parts, _consumed = parse_payload_bits(buf, config.dims_bits)
-                        break
-                    except NeedMoreBits as e:
-                        needed = e.needed  # ciphertext/header spans more frames
-                        continue
-                    except ValueError as e:
-                        return ExtractResult(False, error=str(e))
+                dev = extract_fn(config.kernel, h8, w8)(
+                    jnp.asarray(gray), delta, config.num_ac_coeffs
+                )
+                done = pending is not None and ingest(pending)
+                pending = (n, dev)
+                if done:
+                    pending = None
+                    break
+            if pending is not None:
+                ingest(pending)
+        if parse_error is not None:
+            return ExtractResult(False, error=parse_error)
         if parts is None:
             return ExtractResult(
                 False,
@@ -255,6 +306,14 @@ def extract_image_from_video(
         return ExtractResult(False, parts=parts, error="AES-GCM authentication failed")
     if not hash_ok:
         log.warning("SHA3-256 mismatch: image may be corrupt (continuing, like reference)")
+
+    if parts.is_raw_data:  # extension mode: arbitrary bytes, no image decode
+        out_path = None
+        if output_image is not None:
+            Path(output_image).write_bytes(plaintext)
+            out_path = str(output_image)
+        return ExtractResult(True, data=plaintext, hash_ok=hash_ok,
+                             parts=parts, output_path=out_path)
 
     try:
         pixels = image_codec.bytes_to_pixels(
