@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 
-def main(b=4, h=2160, w=3840, n_ac=10, k_chain=10):
+def main(b=16, h=2160, w=3840, n_ac=10, k_chain=10):
     import jax
     import jax.numpy as jnp
 
