@@ -21,7 +21,7 @@ def main(b=16, h=2160, w=3840, n_ac=10, k_chain=10):
     import jax
     import jax.numpy as jnp
 
-    from stegotpu.ops.qim import embed_extract_evaluate
+    from stegotpu.ops.pallas_kernel import embed_and_extract_frames_pallas
     from stegotpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -33,15 +33,25 @@ def main(b=16, h=2160, w=3840, n_ac=10, k_chain=10):
     total = jnp.int32(b * cap)
     d = jnp.float32(20)
 
-    # one evaluated step: scalars only cross the host boundary
-    stego, bpf, ex, metrics = embed_extract_evaluate(frames, payload, total, d, n_ac)
-    psnr_db = float(metrics["psnr_db"])
-    errors = int(metrics["bit_errors"])
+    def evaluated_step(f, p):
+        """Pallas round trip + on-device PSNR/BER (scalars-only boundary)."""
+        stego, bpf, extracted = embed_and_extract_frames_pallas(f, p, total, d, n_ac)
+        dd = f.astype(jnp.float32) - stego.astype(jnp.float32)
+        mse = jnp.mean(dd * dd)
+        psnr_db = jnp.where(mse == 0, jnp.inf,
+                            10.0 * jnp.log10(255.0 * 255.0 / mse))
+        errors = jnp.sum((extracted != p).astype(jnp.int32))
+        return stego, extracted, psnr_db, errors
+
+    one = jax.jit(evaluated_step)
+    _, _, psnr_dev, errors_dev = one(frames, payload)
+    psnr_db = float(psnr_dev)
+    errors = int(errors_dev)
 
     @jax.jit
     def chained(f, p):
         def body(_, carry):
-            s, _, e, m = embed_extract_evaluate(carry, p, total, d, n_ac)
+            s, e, _, _ = evaluated_step(carry, p)
             return s ^ (e[:, :1, None] & 0)
         out = jax.lax.fori_loop(0, k_chain, body, f)
         return jnp.sum(out, dtype=jnp.int32)

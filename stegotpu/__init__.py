@@ -21,4 +21,8 @@ compute path redesigned TPU-first:
 __version__ = "0.1.0"
 
 from stegotpu.config import StegoConfig  # noqa: F401
-from stegotpu.pipeline import embed_image_in_video, extract_image_from_video  # noqa: F401
+from stegotpu.pipeline import (  # noqa: F401
+    embed_data_in_video,
+    embed_image_in_video,
+    extract_image_from_video,
+)
