@@ -75,34 +75,39 @@ def build_state_plane(
     num_ac: int,
     bit_offset: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
-    """(B, C) payload -> (B, H, W) uint8 state plane (see module docstring)."""
+    """(B, C) payload -> (B, H, W) uint8 state plane (see module docstring).
+
+    Written as ONE fused where-chain over a (B, nb, 64) output so XLA
+    materializes a single uint8 array plus the unblockify transpose — the
+    plane build is on the embed hot path (it was 44% of embed time in the
+    iota-heavy formulation).
+    """
     b = payload_bits.shape[0]
     nb = (h // BLOCK) * (w // BLOCK)
     cap = nb * num_ac
     total_bits = total_bits.astype(jnp.int32)
     bit_offset = jnp.asarray(bit_offset, dtype=jnp.int32)
 
-    slot_idx = (
-        bit_offset
-        + jnp.arange(b, dtype=jnp.int32)[:, None, None] * cap
-        + jnp.arange(nb, dtype=jnp.int32)[None, :, None] * num_ac
-        + jnp.arange(num_ac, dtype=jnp.int32)[None, None, :]
-    )
-    valid = slot_idx < total_bits                      # (B, nb, N)
-    bits = payload_bits.reshape(b, nb, num_ac)
-    slots = jnp.where(valid, bits, jnp.uint8(2)).astype(jnp.uint8)
+    # remaining bits at each block's first slot: rem > 0 <=> block entered;
+    # slot j (0-based AC index) is valid <=> j < rem. (B, nb) int32 only.
+    rem = (
+        total_bits
+        - bit_offset
+        - jnp.arange(b, dtype=jnp.int32)[:, None] * cap
+        - jnp.arange(nb, dtype=jnp.int32)[None, :] * num_ac
+    )[..., None]                                   # (B, nb, 1)
 
-    entered = (slot_idx[..., 0] < total_bits)          # (B, nb)
-    fill = jnp.where(entered, jnp.uint8(2), jnp.uint8(3))  # DC & unused cols
-    plane_blocks = jnp.broadcast_to(fill[..., None], (b, nb, BLOCK_AREA))
-    plane_blocks = jnp.concatenate(
-        [
-            plane_blocks[..., :1],
-            jnp.where(entered[..., None], slots, jnp.uint8(3)),
-            plane_blocks[..., 1 + num_ac :],
-        ],
-        axis=-1,
+    col = jnp.arange(BLOCK_AREA, dtype=jnp.int32)  # flat coefficient index
+    is_slot = (col >= 1) & (col <= num_ac)
+    # payload padded into the 64-wide block grid (cols 1..N)
+    bits64 = jnp.pad(
+        payload_bits.reshape(b, nb, num_ac), ((0, 0), (0, 0), (1, BLOCK_AREA - 1 - num_ac))
     )
+    plane_blocks = jnp.where(
+        rem <= 0,
+        jnp.uint8(3),                                           # block never entered
+        jnp.where(is_slot & (col - 1 < rem), bits64, jnp.uint8(2)),
+    ).astype(jnp.uint8)
     return unblockify(plane_blocks, h, w)
 
 
