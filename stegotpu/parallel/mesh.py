@@ -30,7 +30,20 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from stegotpu.config import BLOCK
-from stegotpu.ops.qim import embed_frames, extract_frames
+from stegotpu.ops.qim import embed_frames as _embed_xla, extract_frames as _extract_xla
+
+
+def _kernel_fns(kernel: str):
+    """Per-shard kernel selection ('xla' default; 'pallas' when the shard
+    shapes allow — each device runs the single-chip kernel unchanged)."""
+    if kernel == "pallas":
+        from stegotpu.ops.pallas_kernel import (
+            embed_frames_pallas,
+            extract_frames_pallas,
+        )
+
+        return embed_frames_pallas, extract_frames_pallas
+    return _embed_xla, _extract_xla
 
 
 def make_mesh(n_data: int | None = None, n_space: int = 1, devices=None) -> Mesh:
@@ -49,7 +62,8 @@ def _shard_offsets(b_l: int, h_l: int, w_l: int, num_ac: int, n_space: int,
     return cap_stripe, cap_stripe * n_space
 
 
-def _embed_local(frames, payload, total_bits, delta, *, num_ac, n_space, block):
+def _embed_local(frames, payload, total_bits, delta, *, num_ac, n_space, block,
+                 kernel="xla"):
     """Per-device embed over a (b_l, h_l, w_l) frame shard.
 
     Local frame f / stripe si holds global bits
@@ -62,13 +76,14 @@ def _embed_local(frames, payload, total_bits, delta, *, num_ac, n_space, block):
     si = jax.lax.axis_index("space")
     b_l, h_l, w_l = frames.shape
     cap_stripe, cap_frame = _shard_offsets(b_l, h_l, w_l, num_ac, n_space, block)
+    embed_fn, _ = _kernel_fns(kernel)
 
     def one(f, _):
         offset = (di * b_l + f) * cap_frame + si * cap_stripe
-        stego_f, bpf_f = embed_frames(
+        stego_f, bpf_f = embed_fn(
             jax.lax.dynamic_slice_in_dim(frames, f, 1, 0),
             jax.lax.dynamic_slice_in_dim(payload, f, 1, 0),
-            total_bits, delta, num_ac, block, bit_offset=offset,
+            total_bits, delta, num_ac, bit_offset=offset,
         )
         return f + 1, (stego_f[0], bpf_f[0])
 
@@ -76,7 +91,8 @@ def _embed_local(frames, payload, total_bits, delta, *, num_ac, n_space, block):
     return stego, bpf
 
 
-def sharded_embed_frames(mesh: Mesh, num_ac: int, block: int = BLOCK):
+def sharded_embed_frames(mesh: Mesh, num_ac: int, block: int = BLOCK,
+                         kernel: str = "xla"):
     """Jitted dp x sp sharded embed.
 
     frames (B, H, W) shard as ('data', 'space', None); payload (B, C) as
@@ -89,7 +105,7 @@ def sharded_embed_frames(mesh: Mesh, num_ac: int, block: int = BLOCK):
     def _local(frames, payload, total_bits, delta):
         stego, bpf = _embed_local(
             frames, payload, total_bits, delta,
-            num_ac=num_ac, n_space=n_space, block=block,
+            num_ac=num_ac, n_space=n_space, block=block, kernel=kernel,
         )
         bpf = jax.lax.psum(bpf, axis_name="space")
         return stego, bpf
@@ -103,11 +119,13 @@ def sharded_embed_frames(mesh: Mesh, num_ac: int, block: int = BLOCK):
     return jax.jit(fn)
 
 
-def sharded_extract_frames(mesh: Mesh, num_ac: int, block: int = BLOCK):
+def sharded_extract_frames(mesh: Mesh, num_ac: int, block: int = BLOCK,
+                           kernel: str = "xla"):
     """Jitted dp x sp sharded extract -> (B, C) bits, purely local compute."""
+    _, extract_fn = _kernel_fns(kernel)
 
     def _local(frames, delta):
-        return extract_frames(frames, delta, num_ac, block)
+        return extract_fn(frames, delta, num_ac)
 
     fn = shard_map(
         _local, mesh=mesh,
@@ -118,7 +136,8 @@ def sharded_extract_frames(mesh: Mesh, num_ac: int, block: int = BLOCK):
     return jax.jit(fn)
 
 
-def sharded_roundtrip_step(mesh: Mesh, num_ac: int, block: int = BLOCK):
+def sharded_roundtrip_step(mesh: Mesh, num_ac: int, block: int = BLOCK,
+                           kernel: str = "xla"):
     """Fused sharded embed -> extract -> global BER: one compiled program.
 
     This is the framework's "training step" analogue: real dp x sp sharding
@@ -137,9 +156,10 @@ def sharded_roundtrip_step(mesh: Mesh, num_ac: int, block: int = BLOCK):
         )
         stego, bpf = _embed_local(
             frames, payload, total_bits, delta,
-            num_ac=num_ac, n_space=n_space, block=block,
+            num_ac=num_ac, n_space=n_space, block=block, kernel=kernel,
         )
-        extracted = extract_frames(stego, delta, num_ac, block)
+        _, extract_fn = _kernel_fns(kernel)
+        extracted = extract_fn(stego, delta, num_ac)
         # mask: count errors only on slots that actually carry payload
         col = jnp.arange(cap_stripe, dtype=jnp.int32)[None, :]
         frame_idx = di * b_l + jnp.arange(b_l, dtype=jnp.int32)[:, None]

@@ -87,6 +87,33 @@ def test_sharded_roundtrip_step_ber_zero(rng, devices):
     np.testing.assert_array_equal(ex, payload.reshape(-1)[:total])
 
 
+def test_sharded_roundtrip_with_pallas_kernel(rng, devices):
+    """Per-shard pallas kernel under shard_map (interpret mode on CPU):
+    identical results to the xla per-shard kernel."""
+    b, h, w = 8, 96, 128  # h_l=48 per space-shard -> stripe 48; w=128 ok
+    frames = rng.integers(0, 256, (b, h, w), dtype=np.uint8)
+    cap = (h // 8) * (w // 8) * N_AC
+    total = b * cap - 11
+    payload = np.zeros(b * cap, np.uint8)
+    payload[:total] = rng.integers(0, 2, total)
+    payload = payload.reshape(b, cap)
+    mesh = make_mesh(4, 2, devices)
+    step_x = sharded_roundtrip_step(mesh, N_AC, kernel="xla")
+    step_p = sharded_roundtrip_step(mesh, N_AC, kernel="pallas")
+    args = (jnp.asarray(frames), jnp.asarray(payload), jnp.int32(total),
+            jnp.float32(DELTA))
+    sx, bx, ex, errx = step_x(*args)
+    sp, bp, ep, errp = step_p(*args)
+    assert int(errx) == 0 and int(errp) == 0
+    np.testing.assert_array_equal(np.asarray(bx), np.asarray(bp))
+    np.testing.assert_array_equal(np.asarray(ex), np.asarray(ep))
+    # stego pixels may differ where a borderline round(c/delta) flips the
+    # lattice choice between float orderings — both embeds are valid (the
+    # extracted bits above are identical); just bound the disagreement
+    diff = np.abs(np.asarray(sx).astype(int) - np.asarray(sp).astype(int))
+    assert (diff > 1).mean() < 0.01  # each flipped coeff perturbs its 64-px block
+
+
 def test_partial_payload_stripe_boundaries(rng, devices):
     """Payload ending inside a middle stripe of a middle frame: the offset
     arithmetic across (data, space) shards must place the boundary exactly."""
