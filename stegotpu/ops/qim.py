@@ -99,14 +99,17 @@ def embed_frames(
     y = jnp.einsum("bnc,kc->bnk", xb, k, preferred_element_type=jnp.float32)
 
     ac = _ac_slice(y, num_ac)  # (B, nb, N)
-    # Global bit index of each slot: offset + i*C + blk*N + j.
-    slot_idx = (
-        bit_offset
-        + jnp.arange(b, dtype=jnp.int32)[:, None, None] * cap
-        + jnp.arange(nb, dtype=jnp.int32)[None, :, None] * num_ac
-        + jnp.arange(num_ac, dtype=jnp.int32)[None, None, :]
-    )
-    valid = slot_idx < total_bits
+    # Remaining bits at each block's first slot (global index offset + i*C +
+    # blk*N): rem > 0 <=> block entered; slot j valid <=> j < rem. Threshold
+    # form keeps the big (B, nb, N) iota out of the graph (hot-path cost,
+    # see docs/TUNING.md).
+    rem = (
+        total_bits
+        - bit_offset
+        - jnp.arange(b, dtype=jnp.int32)[:, None] * cap
+        - jnp.arange(nb, dtype=jnp.int32)[None, :] * num_ac
+    )[..., None]                                       # (B, nb, 1)
+    valid = jnp.arange(num_ac, dtype=jnp.int32) < rem  # (B, nb, N)
     bits = payload_bits.reshape(b, nb, num_ac)
     ac_new = qim_embed_coeffs(ac, bits, valid, delta)
 
@@ -117,12 +120,7 @@ def embed_frames(
 
     # Blocks whose first slot lies past the payload end were never entered:
     # they pass through with NO transform roundtrip (config_and_setup.py:130-132).
-    block_first = (
-        bit_offset
-        + jnp.arange(b, dtype=jnp.int32)[:, None] * cap
-        + jnp.arange(nb, dtype=jnp.int32)[None, :] * num_ac
-    )
-    entered = (block_first < total_bits)[..., None]
+    entered = rem > 0
     x_final = jnp.where(entered, x_out, xb)
 
     stego = unblockify(x_final, h, w, block)

@@ -57,17 +57,17 @@ def embed_frames_verified(
     bit_offset = jnp.asarray(bit_offset, dtype=jnp.int32)
     k = jnp.asarray(kron_dct_matrix(block))
 
-    slot_idx = (
-        bit_offset
-        + jnp.arange(b, dtype=jnp.int32)[:, None, None] * cap
-        + jnp.arange(nb, dtype=jnp.int32)[None, :, None] * num_ac
-        + jnp.arange(num_ac, dtype=jnp.int32)[None, None, :]
-    )
-    valid = slot_idx < total_bits
+    # threshold form of the validity masks (see docs/TUNING.md)
+    rem = (
+        total_bits
+        - bit_offset
+        - jnp.arange(b, dtype=jnp.int32)[:, None] * cap
+        - jnp.arange(nb, dtype=jnp.int32)[None, :] * num_ac
+    )[..., None]                                       # (B, nb, 1)
+    valid = jnp.arange(num_ac, dtype=jnp.int32) < rem
     bits = payload_bits.reshape(b, nb, num_ac)
     bits_f = bits.astype(jnp.float32)
-    block_first = slot_idx[..., 0]
-    entered = (block_first < total_bits)[..., None]
+    entered = rem > 0
 
     xb = blockify(frames.astype(jnp.float32), block)  # original blocks
     y0 = jnp.einsum("bnc,kc->bnk", xb, k, preferred_element_type=jnp.float32)
