@@ -33,15 +33,13 @@ def main(b=16, h=2160, w=3840, n_ac=10, k_chain=10):
     total = jnp.int32(b * cap)
     d = jnp.float32(20)
 
+    from stegotpu.ops.qim import roundtrip_metrics
+
     def evaluated_step(f, p):
         """Pallas round trip + on-device PSNR/BER (scalars-only boundary)."""
         stego, bpf, extracted = embed_and_extract_frames_pallas(f, p, total, d, n_ac)
-        dd = f.astype(jnp.float32) - stego.astype(jnp.float32)
-        mse = jnp.mean(dd * dd)
-        psnr_db = jnp.where(mse == 0, jnp.inf,
-                            10.0 * jnp.log10(255.0 * 255.0 / mse))
-        errors = jnp.sum((extracted != p).astype(jnp.int32))
-        return stego, extracted, psnr_db, errors
+        m = roundtrip_metrics(f, stego, extracted, p, total)
+        return stego, extracted, m["psnr_db"], m["bit_errors"]
 
     one = jax.jit(evaluated_step)
     _, _, psnr_dev, errors_dev = one(frames, payload)

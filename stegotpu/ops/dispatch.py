@@ -23,7 +23,10 @@ def _pallas_ok(w: int, h: int) -> bool:
 def _pallas_compiled_backend() -> bool:
     import jax
 
-    return jax.default_backend() != "cpu"
+    # Mosaic-TPU kernels lower only on TPU; 'auto' must stay on the portable
+    # XLA kernel for any other backend (CPU runs Pallas interpreted — tests
+    # only; GPU/metal would fail to lower entirely)
+    return jax.default_backend() == "tpu"
 
 
 def _use_pallas(kernel: str, h: int, w: int) -> bool:

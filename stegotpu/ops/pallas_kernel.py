@@ -58,13 +58,21 @@ def _horiz_matrix(inverse: bool, dtype=np.float32) -> np.ndarray:
 
 
 def pick_stripe(h: int) -> int:
+    import logging
     import os
 
     override = os.environ.get("STEGOTPU_PALLAS_STRIPE")
     if override:
-        s = int(override)
-        if h % s == 0:
+        try:
+            s = int(override)
+        except ValueError:
+            s = -1
+        if s > 0 and s % BLOCK == 0 and h % s == 0:
             return s
+        logging.getLogger("stegotpu").warning(
+            "ignoring STEGOTPU_PALLAS_STRIPE=%r: must be a positive multiple "
+            "of %d dividing height %d", override, BLOCK, h,
+        )
     for s in (120, 96, 72, 48, 24, 8):
         if h % s == 0:
             return s

@@ -37,35 +37,7 @@ from stegotpu.ops.pallas_kernel import (
     _u8_to_f32,
     pick_stripe,
 )
-from stegotpu.ops.qim import embed_frames as _  # noqa: F401  (parity docs)
-from stegotpu.ops.qim_fast import build_state_plane  # reused for masks
-
-
-def _plane_blocks(payload_bits, total_bits, b, nb, num_ac, bit_offset=0):
-    """State plane directly in block layout (B, nb, 64) — no unblockify."""
-    cap = nb * num_ac
-    total_bits = total_bits.astype(jnp.int32)
-    bit_offset = jnp.asarray(bit_offset, dtype=jnp.int32)
-    slot_idx = (
-        bit_offset
-        + jnp.arange(b, dtype=jnp.int32)[:, None, None] * cap
-        + jnp.arange(nb, dtype=jnp.int32)[None, :, None] * num_ac
-        + jnp.arange(num_ac, dtype=jnp.int32)[None, None, :]
-    )
-    valid = slot_idx < total_bits
-    bits = payload_bits.reshape(b, nb, num_ac)
-    slots = jnp.where(valid, bits, jnp.uint8(2)).astype(jnp.uint8)
-    entered = slot_idx[..., 0] < total_bits
-    fill = jnp.where(entered, jnp.uint8(2), jnp.uint8(3))
-    plane = jnp.broadcast_to(fill[..., None], (b, nb, BLOCK_AREA))
-    return jnp.concatenate(
-        [
-            plane[..., :1],
-            jnp.where(entered[..., None], slots, jnp.uint8(3)),
-            plane[..., 1 + num_ac :],
-        ],
-        axis=-1,
-    )
+from stegotpu.ops.qim_fast import build_plane_blocks
 
 
 def _blockify_tile(x, stripe, w):
@@ -134,7 +106,7 @@ def _embed_frames_kron(frames, payload_bits, total_bits, delta, num_ac,
     nb_tile = (stripe // BLOCK) * (w // BLOCK)
     cap = nb * num_ac
 
-    plane = _plane_blocks(payload_bits, total_bits, b, nb, num_ac, bit_offset)
+    plane = build_plane_blocks(payload_bits, total_bits, nb, num_ac, bit_offset)
     grid = (b, h // stripe)
     stego = pl.pallas_call(
         functools.partial(_embed_kernel, stripe=stripe, w=w),

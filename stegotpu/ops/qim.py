@@ -154,6 +154,33 @@ def extract_frames(
     return bits.reshape(b, -1)
 
 
+def roundtrip_metrics(frames, stego, extracted, payload_bits, total_bits):
+    """On-device quality metrics for an embed/extract round trip.
+
+    Returns {psnr_db, bit_errors, payload_bits} as device scalars (only
+    scalars cross the host boundary for live monitoring). Bit errors count
+    payload-carrying slots only. Shared by embed_extract_evaluate and the
+    streaming benchmarks (benchmarks/uhd_stream.py).
+    """
+    d = frames.astype(jnp.float32) - stego.astype(jnp.float32)
+    mse = jnp.mean(d * d)
+    psnr_db = jnp.where(mse == 0, jnp.inf, 10.0 * jnp.log10(255.0 * 255.0 / mse))
+    b = frames.shape[0]
+    cap = payload_bits.shape[1]
+    total_bits = total_bits.astype(jnp.int32)
+    # threshold form: remaining bits at each frame's first slot
+    rem = (total_bits - jnp.arange(b, dtype=jnp.int32)[:, None] * cap)
+    valid = jnp.arange(cap, dtype=jnp.int32) < rem
+    bit_errors = jnp.sum(
+        jnp.where(valid, (extracted != payload_bits).astype(jnp.int32), 0)
+    )
+    return {
+        "psnr_db": psnr_db,
+        "bit_errors": bit_errors,
+        "payload_bits": jnp.minimum(total_bits, b * cap),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("num_ac", "block"))
 def embed_extract_evaluate(
     frames: jnp.ndarray,
@@ -166,32 +193,14 @@ def embed_extract_evaluate(
     """Streaming-evaluation step: embed + extract + on-device quality metrics.
 
     One device dispatch returns (stego, bits_per_frame, extracted, metrics)
-    where metrics = {psnr_db, bit_errors, payload_bits}; only scalars need to
-    cross the host boundary for live monitoring (BASELINE.json config:
-    "4K60 streaming embed+extract with on-device PSNR/SSIM/BER evaluation").
+    (BASELINE.json config: "4K60 streaming embed+extract with on-device
+    PSNR/SSIM/BER evaluation").
     """
     stego, bits_per_frame = embed_frames(
         frames, payload_bits, total_bits, delta, num_ac, block
     )
     extracted = extract_frames(stego, delta, num_ac, block)
-    d = frames.astype(jnp.float32) - stego.astype(jnp.float32)
-    mse = jnp.mean(d * d)
-    psnr_db = jnp.where(mse == 0, jnp.inf, 10.0 * jnp.log10(255.0 * 255.0 / mse))
-    b, _, _ = frames.shape
-    cap = payload_bits.shape[1]
-    slot = (
-        jnp.arange(b, dtype=jnp.int32)[:, None] * cap
-        + jnp.arange(cap, dtype=jnp.int32)[None, :]
-    )
-    valid = slot < total_bits.astype(jnp.int32)
-    bit_errors = jnp.sum(
-        jnp.where(valid, (extracted != payload_bits).astype(jnp.int32), 0)
-    )
-    metrics = {
-        "psnr_db": psnr_db,
-        "bit_errors": bit_errors,
-        "payload_bits": jnp.minimum(total_bits.astype(jnp.int32), b * cap),
-    }
+    metrics = roundtrip_metrics(frames, stego, extracted, payload_bits, total_bits)
     return stego, bits_per_frame, extracted, metrics
 
 

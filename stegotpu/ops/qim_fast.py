@@ -67,23 +67,20 @@ def _dct2_image(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     return yh.reshape(b, h, w)
 
 
-def build_state_plane(
+def build_plane_blocks(
     payload_bits: jnp.ndarray,
     total_bits: jnp.ndarray,
-    h: int,
-    w: int,
+    nb: int,
     num_ac: int,
     bit_offset: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
-    """(B, C) payload -> (B, H, W) uint8 state plane (see module docstring).
+    """(B, C) payload -> (B, nb, 64) uint8 state plane in BLOCK layout.
 
-    Written as ONE fused where-chain over a (B, nb, 64) output so XLA
-    materializes a single uint8 array plus the unblockify transpose — the
-    plane build is on the embed hot path (it was 44% of embed time in the
-    iota-heavy formulation).
+    ONE fused where-chain over a remaining-bits threshold so XLA materializes
+    a single uint8 array — the plane build is on the embed hot path (it was
+    44% of embed time in the earlier iota-heavy formulation).
     """
     b = payload_bits.shape[0]
-    nb = (h // BLOCK) * (w // BLOCK)
     cap = nb * num_ac
     total_bits = total_bits.astype(jnp.int32)
     bit_offset = jnp.asarray(bit_offset, dtype=jnp.int32)
@@ -103,12 +100,26 @@ def build_state_plane(
     bits64 = jnp.pad(
         payload_bits.reshape(b, nb, num_ac), ((0, 0), (0, 0), (1, BLOCK_AREA - 1 - num_ac))
     )
-    plane_blocks = jnp.where(
+    return jnp.where(
         rem <= 0,
         jnp.uint8(3),                                           # block never entered
         jnp.where(is_slot & (col - 1 < rem), bits64, jnp.uint8(2)),
     ).astype(jnp.uint8)
-    return unblockify(plane_blocks, h, w)
+
+
+def build_state_plane(
+    payload_bits: jnp.ndarray,
+    total_bits: jnp.ndarray,
+    h: int,
+    w: int,
+    num_ac: int,
+    bit_offset: jnp.ndarray | int = 0,
+) -> jnp.ndarray:
+    """(B, C) payload -> (B, H, W) uint8 state plane (see module docstring)."""
+    nb = (h // BLOCK) * (w // BLOCK)
+    return unblockify(
+        build_plane_blocks(payload_bits, total_bits, nb, num_ac, bit_offset), h, w
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("num_ac",))

@@ -46,6 +46,15 @@ def _kernel_fns(kernel: str):
     return _embed_xla, _extract_xla
 
 
+def _require_default_block(block: int) -> None:
+    """The per-shard kernel calls run at the standard 8-px block; a different
+    `block` would silently misalign the payload offset arithmetic."""
+    if block != BLOCK:
+        raise NotImplementedError(
+            f"sharded kernels support block={BLOCK} only (got {block})"
+        )
+
+
 def make_mesh(n_data: int | None = None, n_space: int = 1, devices=None) -> Mesh:
     """Build a ('data', 'space') mesh. Defaults to all devices on 'data'."""
     devices = np.asarray(devices if devices is not None else jax.devices())
@@ -100,6 +109,7 @@ def sharded_embed_frames(mesh: Mesh, num_ac: int, block: int = BLOCK,
     contiguous. B must divide by the 'data' size and H//block by 'space'.
     Returned bpf is the per-(frame, stripe) bit count summed over stripes.
     """
+    _require_default_block(block)
     n_space = mesh.shape["space"]
 
     def _local(frames, payload, total_bits, delta):
@@ -122,6 +132,7 @@ def sharded_embed_frames(mesh: Mesh, num_ac: int, block: int = BLOCK,
 def sharded_extract_frames(mesh: Mesh, num_ac: int, block: int = BLOCK,
                            kernel: str = "xla"):
     """Jitted dp x sp sharded extract -> (B, C) bits, purely local compute."""
+    _require_default_block(block)
     _, extract_fn = _kernel_fns(kernel)
 
     def _local(frames, delta):
@@ -145,6 +156,7 @@ def sharded_roundtrip_step(mesh: Mesh, num_ac: int, block: int = BLOCK,
     collective. Returns (stego, bits_per_frame, extracted_bits, total_errors)
     where total_errors counts mismatches on payload-carrying slots only.
     """
+    _require_default_block(block)
     n_space = mesh.shape["space"]
 
     def _local(frames, payload, total_bits, delta):
