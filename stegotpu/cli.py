@@ -197,7 +197,7 @@ def cmd_inspect(args) -> int:
         collected: list[np.ndarray] = []
         collected_bits = 0
         parsed = None
-        while collected_bits < 4 * payload_mod.FIXED_HEADER_BITS:
+        while collected_bits < payload_mod.max_header_bits(cfg.dims_bits):
             frame = reader.read_frame()
             if frame is None:
                 break

@@ -43,9 +43,9 @@ class StegoConfig:
         config_and_setup.py:136-140). Clamped to [0, 63].
     dims_bits: width of each secret-dimension header field.
     codec: fourcc for the lossless stego video container.
-    kernel: device kernel variant — 'xla' (baseline blockify/Kronecker,
-        default), 'pallas' (fused single-HBM-pass), or 'auto' (currently xla;
-        the A/B benchmark picks the default).
+    kernel: device kernel variant — 'auto' (default: the fused Pallas stripe
+        kernel on TPU when W % 128 == 0, the portable XLA Kronecker kernel
+        otherwise — see ops/dispatch.py), 'xla', or 'pallas' (forced).
     verified_embed: closed-loop repair of clipping-induced bit losses
         (ops/verified.py) — guarantees BER=0 even on saturated covers, at the
         cost of `repair_rounds` extra transform passes. The stego stays

@@ -157,6 +157,17 @@ def setup_receiver_keys(
         )
     priv = load_private_pem(private_path)
     pub = load_public_pem(public_path)
+    # a stale/mismatched public PEM beside a valid private PEM would silently
+    # produce stego videos the private key cannot decrypt — rewrite it from
+    # the private key (the private PEM is the source of truth)
+    if pub.public_numbers() != priv.public_key().public_numbers():
+        pub = priv.public_key()
+        public_path.write_bytes(
+            pub.public_bytes(
+                encoding=serialization.Encoding.PEM,
+                format=serialization.PublicFormat.SubjectPublicKeyInfo,
+            )
+        )
     return priv, serialize_public_compressed(pub)
 
 

@@ -93,6 +93,11 @@ class NativeVideoReader:
 
     def read_batch(self, batch: int, crop_h: int, crop_w: int) -> np.ndarray | None:
         """Returns (n, crop_h, crop_w, 3) uint8 BGR, or None at EOF."""
+        if not (0 < crop_h <= self.height and 0 < crop_w <= self.width):
+            raise ValueError(
+                f"crop ({crop_h}, {crop_w}) exceeds decoded frame "
+                f"({self.height}, {self.width})"
+            )
         out = np.empty((batch, crop_h, crop_w, 3), dtype=np.uint8)
         got = self._lib.svx_reader_read_batch(
             self._h, out.ctypes.data_as(ctypes.c_void_p), batch, crop_h, crop_w
@@ -133,6 +138,13 @@ class NativeVideoWriter:
         """frames_bgr: (n, H, W, 3) or (H, W, 3) uint8."""
         if frames_bgr.ndim == 3:
             frames_bgr = frames_bgr[None]
+        # the C layer reads height*width*3 bytes per frame unconditionally; a
+        # smaller array would be an out-of-bounds read
+        if frames_bgr.shape[1:] != (self.height, self.width, 3):
+            raise ValueError(
+                f"frame shape {frames_bgr.shape[1:]} != configured "
+                f"({self.height}, {self.width}, 3)"
+            )
         frames_bgr = np.ascontiguousarray(frames_bgr, dtype=np.uint8)
         rc = self._lib.svx_writer_write(
             self._h, frames_bgr.ctypes.data_as(ctypes.c_void_p),

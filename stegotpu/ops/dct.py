@@ -62,7 +62,7 @@ def blockify(frames: np.ndarray, block: int = BLOCK) -> np.ndarray:
     bh, bw = h // block, w // block
     x = frames.reshape(*lead, bh, block, bw, block)
     x = x.swapaxes(-3, -2)  # (..., bh, bw, block, block)
-    return x.reshape(*lead, bh * bw, BLOCK_AREA)
+    return x.reshape(*lead, bh * bw, block * block)
 
 
 def unblockify(blocks: np.ndarray, height: int, width: int, block: int = BLOCK) -> np.ndarray:

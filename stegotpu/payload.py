@@ -57,6 +57,17 @@ FIXED_HEADER_BITS = (
 assert FIXED_HEADER_BITS == 976
 
 
+def max_header_bits(dims_bits: int = DIMS_BITS) -> int:
+    """Upper bound on a parseable header, for any field contents.
+
+    The length-driven format allows each of the five length-prefixed fields
+    (pubkey/salt/hash/nonce/tag) to declare up to 255 bytes; collectors that
+    stop at FIXED_HEADER_BITS would misreport valid nonstandard headers as
+    unparseable.
+    """
+    return 2 * dims_bits + 5 * (LEN_FIELD_BITS + 8 * 255) + CIPHERTEXT_LEN_BITS
+
+
 @dataclasses.dataclass(frozen=True)
 class PayloadParts:
     """Decomposed payload fields (pre- or post-parse)."""

@@ -78,3 +78,55 @@ def test_cli_bench_import_is_packaged():
     from stegotpu import benchmark
 
     assert callable(benchmark.main)
+
+
+def test_setup_keys_repairs_mismatched_public_pem(tmp_path):
+    """A stale public PEM from a DIFFERENT key must be rewritten from the
+    private key, not silently returned (ADVICE r1: stego videos would be
+    undecryptable)."""
+    priv_p, pub_p = tmp_path / "k.pem", tmp_path / "p.pem"
+    _, pub_c1 = crypto.setup_receiver_keys(priv_p, pub_p)
+    # overwrite the public PEM with an unrelated key's public half
+    other, _ = crypto.generate_keypair()
+    crypto.save_keypair_pem(other, tmp_path / "o.pem", pub_p)
+    _, pub_c2 = crypto.setup_receiver_keys(priv_p, pub_p)
+    assert pub_c2 == pub_c1  # repaired back to the private key's pair
+    _, pub_c3 = crypto.setup_receiver_keys(priv_p, pub_p)
+    assert pub_c3 == pub_c1  # and the file on disk is fixed
+
+
+def test_blockify_nonstandard_block_size(rng):
+    """blockify/unblockify must honor the block parameter (ADVICE r1: the
+    final reshape hardcoded BLOCK_AREA)."""
+    from stegotpu.ops.dct import blockify, unblockify
+
+    x = rng.integers(0, 256, (2, 12, 20), dtype=np.uint8)
+    blocks = blockify(x, block=4)
+    assert blocks.shape == (2, 3 * 5, 16)
+    assert np.array_equal(blocks[1, 0], x[1, :4, :4].reshape(-1))
+    assert np.array_equal(unblockify(blocks, 12, 20, block=4), x)
+
+
+def test_native_writer_rejects_wrong_frame_shape(tmp_path, rng):
+    """Undersized frames must fail loudly, not OOB-read in C (ADVICE r1)."""
+    from stegotpu.native import videoio
+
+    if not videoio.available():
+        pytest.skip("native lib unavailable")
+    with videoio.NativeVideoWriter(tmp_path / "x.avi", 128, 64, 24.0) as w:
+        with pytest.raises(ValueError, match="frame shape"):
+            w.write(rng.integers(0, 256, (1, 32, 64, 3), dtype=np.uint8))
+        w.write(rng.integers(0, 256, (1, 64, 128, 3), dtype=np.uint8))
+
+
+def test_native_reader_rejects_oversize_crop(tmp_path, rng):
+    from stegotpu.native import videoio
+
+    if not videoio.available():
+        pytest.skip("native lib unavailable")
+    with videoio.NativeVideoWriter(tmp_path / "x.avi", 128, 64, 24.0) as w:
+        w.write(rng.integers(0, 256, (2, 64, 128, 3), dtype=np.uint8))
+    with videoio.NativeVideoReader(tmp_path / "x.avi") as r:
+        with pytest.raises(ValueError, match="crop"):
+            r.read_batch(1, 64, 256)
+        assert r.read_batch(2, 64, 128).shape == (2, 64, 128, 3)
