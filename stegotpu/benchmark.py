@@ -4,10 +4,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Methodology: the axon TPU relay's block_until_ready does not reliably wait,
 so throughput is measured by chaining K data-dependent round trips inside a
-single jit (each iteration's stego feeds the next embed via lax.fori_loop)
-and forcing one scalar device->host readback at the end — the dependency
-chain makes the device execute every iteration for real, and dispatch/relay
-latency amortizes out.
+single jit (each iteration's stego feeds the next embed AND its extracted
+wire-order bits feed the next payload, via lax.fori_loop) and forcing one
+scalar device->host readback at the end — the double dependency chain makes
+the device execute every stage of every iteration for real (embed, extract,
+and both payload layout passes; nothing is dead-code-eliminable), and
+dispatch/relay latency amortizes out. NOTE: round 1's chain depended only on
+the stego output, which let XLA eliminate the extract half entirely — its
+9,841.7 fps (BENCH_r01) is an embed-only number; the same methodology now
+measures 18.4k fps, so the r01->r02 delta understates the real kernel
+speedup.
 
 The reference publishes no numbers (BASELINE.md): its scalar Python loop is
 far below real time. vs_baseline is therefore reported against the
@@ -65,10 +71,11 @@ def main() -> None:
     @jax.jit
     def chained(f, p):
         def body(_, carry):
-            s, _, e = embed_and_extract_frames(carry, p, total, dlt, n_ac)
-            return s ^ (e[:, :1, None] & 0)  # keep extract in the dependency chain
-        out = jax.lax.fori_loop(0, k_chain, body, f)
-        return jnp.sum(out, dtype=jnp.int32)
+            fr, pl_ = carry
+            s, _, e = embed_and_extract_frames(fr, pl_, total, dlt, n_ac)
+            return s, e  # extracted bits are the NEXT payload: no dead code
+        out, bits = jax.lax.fori_loop(0, k_chain, body, (f, p))
+        return jnp.sum(out, dtype=jnp.int32) + jnp.sum(bits, dtype=jnp.int32)
 
     _ = float(chained(frames, payload))  # compile + warmup (full completion)
     t0 = time.perf_counter()

@@ -4,25 +4,49 @@ The XLA baseline (ops/qim.py) materializes float32 intermediates (blockified
 frames, coefficients, modified coefficients) in HBM between fusion islands.
 This kernel keeps the whole per-stripe dataflow in VMEM:
 
-    uint8 stripe -> f32 -> vertical DCT -> horizontal DCT -> QIM (driven by
-    the uint8 state plane, see ops/qim_fast.build_state_plane) -> inverse
-    DCTs -> clip -> truncating uint8 cast
+    uint8 stripe -> f32 -> vertical DCT -> horizontal DCT -> QIM ->
+    inverse DCTs -> clip -> truncating uint8 cast
 
-HBM traffic per embedded frame drops to: read frame (u8) + read plane (u8) +
-write stego (u8). The transforms run on the MXU:
+The transforms run on the MXU:
 
 - vertical: P = I_{S/8} (x) M, an (S, S) block-diagonal operator applied to
   the (S, W) stripe in ONE matmul (S = stripe rows, 120 by default ->
   contraction depth 120, near the 128 MXU sweet spot);
 - horizontal: B = I_16 (x) M^T, a (128, 128) block-diagonal operator applied
-  per 128-lane chunk in a static loop of (S, 128) @ (128, 128) matmuls.
+  via the lane-fold reshape (S, W) -> (S*W/128, 128) in one fat matmul.
 
-Stripe height: the largest of {120, 96, 72, 48, 24, 8} dividing H (any
-pre-cropped H is a multiple of 8, so 8 always works). Grid = (B, H/S).
+Round-2 dataflow — compact rows + sparse-delta embed. Round 1 fed the QIM
+stage a full (B, H, W) uint8 "state plane" built by XLA (40% of embed cost)
+and transformed every coefficient of every block both ways; extract wrote a
+full (H, W) bits image of which 84% was discarded. Profiling showed the
+kernels are MXU-cycle-bound on those block-diagonal matmuls, so round 2
+computes only what QIM actually touches:
 
-Semantics match ops/qim.py exactly (same quantizer, directional parity,
-lattice snap, per-slot validity, whole-block passthrough for never-entered
-blocks via plane==3); tests/test_pallas_kernel.py asserts equality.
+- payload slots (flat c = 1..num_ac) live in the first rn = num_ac//8 + 1
+  pixel rows of each block. The REDUCED vertical operator (rows_pad, S)
+  produces only those coefficient rows; the horizontal pass then runs on the
+  (rows_pad, W) compact array — ~4x fewer MXU cycles at the default
+  num_ac=10 than transforming the full stripe;
+- embed forms the sparse coefficient delta dy = snapped - y on valid slots
+  (0 elsewhere) and inverse-transforms THAT: stego = u8(clip(x + idct(dy))).
+  dy is exactly zero for never-entered blocks, so their passthrough is exact
+  (reference config_and_setup.py:130-132); entered blocks differ from the
+  full-roundtrip form only by the f32 dct/idct roundtrip epsilon, far inside
+  the delta/2 QIM margin (pixel-level, parity-invariant);
+- validity masks are computed IN-KERNEL on the compact (rows_pad, W) grid
+  from broadcasted_iota and two SMEM scalars (total_bits, bit_offset) —
+  nothing materialized in HBM;
+- payload bits arrive in the same compact layout ((B, (H/S)*rows_pad, W)
+  uint8, payload_to_rows()) so QIM needs no scatter at all; extract writes
+  its bits in that layout and rows_to_bits() unpacks to the (B, C) wire
+  order. Both layout passes move their bytes as u64 lanes (8 payload bytes
+  per element) — an 8x narrower XLA transpose.
+
+Semantics match ops/qim.py (same quantizer, directional parity, lattice
+snap, per-slot validity, whole-block passthrough); extracted bits are
+bit-identical, stego pixels within the established cross-variant tolerance
+(tests/test_pallas_kernel.py). Reference semantics:
+config_and_setup.py:106-174 (see SURVEY.md §2.4).
 """
 
 from __future__ import annotations
@@ -36,17 +60,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from stegotpu.config import BLOCK
-from stegotpu.ops.dct import blockify, dct_matrix
-from stegotpu.ops.qim_fast import build_state_plane
+from stegotpu.ops.dct import dct_matrix
 
 _LANE = 128
 
 
-@functools.lru_cache(maxsize=None)
-def _vert_matrix(stripe: int, inverse: bool, dtype=np.float32) -> np.ndarray:
-    m = dct_matrix(BLOCK, np.float64)
-    blk = m.T if inverse else m
-    return np.kron(np.eye(stripe // BLOCK), blk).astype(dtype)
+def rows_per_block(num_ac: int) -> int:
+    """In-block pixel rows that contain payload slots (flat c = 1..num_ac)."""
+    return num_ac // BLOCK + 1
+
+
+def _rows_pad(stripe: int, rn: int) -> int:
+    """Compact-rows chunk height per stripe, padded so the Pallas block's
+    sublane dim is a multiple of 8 (Mosaic tiling requirement)."""
+    n = (stripe // BLOCK) * rn
+    return -(-n // BLOCK) * BLOCK
 
 
 @functools.lru_cache(maxsize=None)
@@ -89,51 +117,172 @@ def _f32_to_u8(x):
     return x.astype(jnp.int32).astype(jnp.uint8)
 
 
-def _dct2_stripe(x, pv, bh, w):
-    """(S, W) f32 stripe -> coefficients, via two MXU matmuls.
+# --- compact payload layout (host/XLA side) ----------------------------------
 
-    Vertical: one (S, S) block-diagonal matmul. Horizontal: fold the lane
-    axis W = (W/128)*128 into sublanes — row-major, so (S, W) -> (S*W/128,
-    128) is a tile-order reinterpretation — and apply the 128x128
-    block-diagonal operator in a single fat matmul.
+def _slot_span(g: int, num_ac: int) -> tuple[int, int]:
+    """In-block column range [s0, s1) of payload slots on slot row g
+    (flat coefficient c = 8g + s must lie in [1, num_ac])."""
+    return max(0, 1 - BLOCK * g), max(0, min(BLOCK, num_ac - BLOCK * g + 1))
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "num_ac", "stripe"))
+def payload_to_rows(payload_bits: jnp.ndarray, h: int, w: int, num_ac: int,
+                    stripe: int) -> jnp.ndarray:
+    """(B, C) payload bits -> (B, (H/stripe)*rows_pad, W) compact slot rows.
+
+    Within each stripe chunk, row i*rn + g, column x holds the bit for block
+    (i, x//8), flat coefficient c = 8g + x%8 (zero where c is outside
+    [1, num_ac] — those positions are never read: the kernel's iota mask
+    gates them); chunk rows beyond (stripe/8)*rn are sublane padding.
     """
-    s = x.shape[0]
-    y = jnp.dot(pv, x, preferred_element_type=jnp.float32)  # vertical
-    yr = y.reshape(s * (w // _LANE), _LANE)
-    z = jnp.dot(yr, bh, preferred_element_type=jnp.float32)
-    return z.reshape(s, w)
+    b = payload_bits.shape[0]
+    bh, bw = h // BLOCK, w // BLOCK
+    rn = rows_per_block(num_ac)
+    bh_s = stripe // BLOCK
+    rp = _rows_pad(stripe, rn)
+    p = payload_bits.reshape(b, bh, bw, num_ac)
+    # per slot row g, lane-pad that row's slot span to the full 8 in-block
+    # columns, then stack the rows — strided slices + one concat, no 5-D
+    # transpose (XLA uint8 transposes measured ~2x slower than this form)
+    planes = []
+    for g in range(rn):
+        s0, s1 = _slot_span(g, num_ac)
+        pg = p[..., BLOCK * g + s0 - 1 : BLOCK * g + s1 - 1]
+        planes.append(jnp.pad(pg, ((0, 0),) * 3 + ((s0, BLOCK - s1),)))
+    p = jnp.stack(planes, axis=2)             # (b, bh, rn, bw, 8)
+    p = p.reshape(b, h // stripe, bh_s * rn, w)
+    p = jnp.pad(p, ((0, 0), (0, 0), (0, rp - bh_s * rn), (0, 0)))
+    return p.reshape(b, (h // stripe) * rp, w)
 
 
-def _embed_kernel(frames_ref, plane_ref, pv_f_ref, pv_i_ref, bh_f_ref,
-                  bh_i_ref, delta_ref, stego_ref, *, stripe, w):
-    pv_f = pv_f_ref[:]
-    pv_i = pv_i_ref[:]
-    bh_f = bh_f_ref[:]
-    bh_i = bh_i_ref[:]
-    delta = delta_ref[0]
+@functools.partial(jax.jit, static_argnames=("h", "w", "num_ac", "stripe"))
+def rows_to_bits(rows: jnp.ndarray, h: int, w: int, num_ac: int, stripe: int
+                 ) -> jnp.ndarray:
+    """Inverse of payload_to_rows for extracted bits: -> (B, C)."""
+    b = rows.shape[0]
+    bh, bw = h // BLOCK, w // BLOCK
+    rn = rows_per_block(num_ac)
+    bh_s = stripe // BLOCK
+    rp = _rows_pad(stripe, rn)
+    r = rows.reshape(b, h // stripe, rp, w)[:, :, : bh_s * rn]
+    r = r.reshape(b, bh, rn, bw, BLOCK)
+    # inverse of payload_to_rows: per-row strided slices + one concat
+    parts = [
+        r[:, :, g, :, s0:s1]
+        for g, (s0, s1) in ((g, _slot_span(g, num_ac)) for g in range(rn))
+    ]
+    return jnp.concatenate(parts, axis=-1).reshape(b, -1)
 
-    x = _u8_to_f32(frames_ref[0])           # block is (1, stripe, w)
-    plane = plane_ref[0].astype(jnp.int32)
-    y = _dct2_stripe(x, pv_f, bh_f, w)
 
-    q = jnp.round(y / delta)
+# --- kernels ------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _vert_reduced_matrix(stripe: int, rn: int, dtype=np.float32) -> np.ndarray:
+    """(rows_pad, S) forward vertical operator producing ONLY coefficient
+    rows g < rn of each block — all QIM ever touches. Zero rows pad the
+    sublane dim to a multiple of 8 (they extract as harmless 0-bits).
+
+    Why MXU and not VPU: an 8-FMA-per-row VPU formulation over the
+    sublane-regrouped (S/8, 8, W) view measured 2x SLOWER (each strided
+    sublane slice is a relayout copy of the stripe); the block-diagonal
+    matmul keeps the data stationary.
+    """
+    m = dct_matrix(BLOCK, np.float64)
+    bh_s = stripe // BLOCK
+    out = np.zeros((_rows_pad(stripe, rn), stripe), np.float64)
+    for i in range(bh_s):
+        out[i * rn : i * rn + rn, i * BLOCK : (i + 1) * BLOCK] = m[:rn]
+    return out.astype(dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _vert_expand_matrix(stripe: int, rn: int, dtype=np.float32) -> np.ndarray:
+    """(S, rows_pad) inverse vertical operator for SPARSE coefficient deltas
+    restricted to the slot rows: the transpose of the reduced forward
+    operator (the full vertical is orthonormal). Its zero columns annihilate
+    anything in the sublane-padding rows."""
+    return _vert_reduced_matrix(stripe, rn, dtype).T.copy()
+
+
+def _horiz_apply(y, bh, w):
+    """Right-apply the 128x128 block-diagonal horizontal operator via the
+    lane-fold reshape ((S', W) -> (S'*W/128, 128), a tile-order
+    reinterpretation)."""
+    s2 = y.shape[0]
+    yr = y.reshape(s2 * (w // _LANE), _LANE)
+    return jnp.dot(yr, bh, preferred_element_type=jnp.float32).reshape(s2, w)
+
+
+def _dct2_compact(x, pvr, bh_f, w):
+    """(S, W) f32 stripe -> compact slot-row coefficients (rows_pad, W):
+    reduced vertical matmul, then the horizontal pass on the compact array."""
+    y = jnp.dot(pvr, x, preferred_element_type=jnp.float32)
+    return _horiz_apply(y, bh_f, w)
+
+
+def _idct2_sparse(dy, pve, bh_i, w):
+    """Pixel-space image of a SPARSE coefficient delta living on the compact
+    slot rows: horizontal inverse on the compact array, then the (S,
+    rows_pad) vertical expansion. (rows_pad, W) -> (S, W)."""
+    dh = _horiz_apply(dy, bh_i, w)
+    return jnp.dot(pve, dh, preferred_element_type=jnp.float32)
+
+
+def _qim_valid_compact(total, offset, *, stripe, w, num_ac, cap, rn, rp):
+    """Per-slot validity on the compact (rows_pad, W) grid, from iota + SMEM
+    scalars — no materialized plane.
+
+    Compact row k = i*rn + g, column x is block (i, x//8), flat in-block
+    coefficient c = 8g + x%8; it carries a payload bit iff c is a slot
+    (1 <= c <= num_ac) and its global bit index is below total. Sublane
+    padding rows (k >= (S/8)*rn) may spuriously test valid — harmless: the
+    expansion matrix's zero columns annihilate their delta, and extraction
+    slices them away.
+    """
+    bh_s = stripe // BLOCK
+    bw = w // BLOCK
+    f = pl.program_id(0)
+    jg = pl.program_id(1)
+    k = jax.lax.broadcasted_iota(jnp.int32, (rp, w), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (rp, w), 1)
+    i = k // rn
+    blk = (jg * bh_s + i) * bw + x // BLOCK
+    rem = total - offset - f * cap - blk * num_ac  # bits left at block start
+    c = (k - i * rn) * BLOCK + x % BLOCK
+    return (c >= 1) & (c <= num_ac) & (c - 1 < rem)
+
+
+def _qim_sparse_delta(ys, bits, valid, delta):
+    """Directional-parity QIM + lattice snap as a sparse coefficient delta:
+    snapped - original on valid slots, exactly 0 elsewhere (SURVEY.md §2.4)."""
+    q = jnp.round(ys / delta)
     parity = jnp.mod(q, 2.0)
-    bit_f = plane.astype(jnp.float32)
-    adjust = jnp.where(parity != bit_f, jnp.where(bit_f == 1.0, 1.0, -1.0), 0.0)
-    y_new = jnp.where(plane < 2, (q + adjust) * delta, y)
-
-    x_out = _dct2_stripe(y_new, pv_i, bh_i, w)
-    x_final = jnp.where(plane == 3, x, x_out)  # untouched blocks: passthrough
-    stego_ref[0] = _f32_to_u8(jnp.clip(x_final, 0.0, 255.0))
+    adjust = jnp.where(parity != bits, jnp.where(bits == 1.0, 1.0, -1.0), 0.0)
+    return jnp.where(valid, (q + adjust) * delta - ys, 0.0)
 
 
-def _extract_kernel(frames_ref, pv_f_ref, bh_f_ref, delta_ref, bits_ref, *,
-                    stripe, w):
-    pv_f = pv_f_ref[:]
-    bh_f = bh_f_ref[:]
+def _embed_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref, bh_i_ref,
+                  delta_ref, lim_ref, stego_ref, *,
+                  stripe, w, num_ac, cap, rn, rp):
     delta = delta_ref[0]
     x = _u8_to_f32(frames_ref[0])           # block is (1, stripe, w)
-    y = _dct2_stripe(x, pv_f, bh_f, w)
+    ys = _dct2_compact(x, pvr_ref[:], bh_f_ref[:], w)
+
+    bits = _u8_to_f32(rows_ref[0])          # compact layout, no scatter
+    valid = _qim_valid_compact(
+        lim_ref[0], lim_ref[1], stripe=stripe, w=w, num_ac=num_ac, cap=cap,
+        rn=rn, rp=rp,
+    )
+    dy = _qim_sparse_delta(ys, bits, valid, delta)
+
+    # dy == 0 for never-entered blocks -> exact passthrough of x
+    xd = _idct2_sparse(dy, pve_ref[:], bh_i_ref[:], w)
+    stego_ref[0] = _f32_to_u8(jnp.clip(x + xd, 0.0, 255.0))
+
+
+def _extract_kernel(frames_ref, pvr_ref, bh_f_ref, delta_ref, bits_ref, *, w):
+    delta = delta_ref[0]
+    x = _u8_to_f32(frames_ref[0])           # block is (1, stripe, w)
+    y = _dct2_compact(x, pvr_ref[:], bh_f_ref[:], w)
     bits_ref[0] = _f32_to_u8(jnp.mod(jnp.round(y / delta), 2.0))
 
 
@@ -165,38 +314,43 @@ def _embed_frames_pallas(
     if w % _LANE:
         raise ValueError(f"pallas path needs W % {_LANE} == 0, got {w}")
     stripe = pick_stripe(h)
+    rn = rows_per_block(num_ac)
+    rp = _rows_pad(stripe, rn)
     nb = (h // BLOCK) * (w // BLOCK)
     cap = nb * num_ac
     total_bits = total_bits.astype(jnp.int32)
     bit_offset = jnp.asarray(bit_offset, dtype=jnp.int32)
 
-    plane = build_state_plane(payload_bits, total_bits, h, w, num_ac, bit_offset)
+    rows = payload_to_rows(payload_bits, h, w, num_ac, stripe)
     delta_arr = jnp.asarray(delta, dtype=jnp.float32).reshape(1)
+    lim = jnp.stack([total_bits, bit_offset]).astype(jnp.int32)
 
     grid = (b, h // stripe)
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     stego = pl.pallas_call(
-        functools.partial(_embed_kernel, stripe=stripe, w=w),
+        functools.partial(_embed_kernel, stripe=stripe, w=w, num_ac=num_ac,
+                          cap=cap, rn=rn, rp=rp),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, rp, w), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             mat_spec, mat_spec, mat_spec, mat_spec,
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            smem_spec, smem_spec,
         ],
         out_specs=pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
         interpret=interpret,
     )(
-        frames, plane,
-        jnp.asarray(_vert_matrix(stripe, inverse=False)),
-        jnp.asarray(_vert_matrix(stripe, inverse=True)),
+        frames, rows,
+        jnp.asarray(_vert_reduced_matrix(stripe, rn)),
+        jnp.asarray(_vert_expand_matrix(stripe, rn)),
         jnp.asarray(_horiz_matrix(inverse=False)),
         jnp.asarray(_horiz_matrix(inverse=True)),
-        delta_arr,
+        delta_arr, lim,
     )
 
     bits_per_frame = jnp.clip(
@@ -215,15 +369,28 @@ def _extract_frames_pallas(
     frames: jnp.ndarray, delta: jnp.ndarray, num_ac: int, interpret: bool
 ) -> jnp.ndarray:
     b, h, w = frames.shape
+    stripe = pick_stripe(h)
+    bits_rows = _extract_frames_pallas_rows(frames, delta, num_ac, interpret)
+    return rows_to_bits(bits_rows, h, w, num_ac, stripe)
+
+
+@functools.partial(jax.jit, static_argnames=("num_ac", "interpret"))
+def _extract_frames_pallas_rows(
+    frames: jnp.ndarray, delta: jnp.ndarray, num_ac: int, interpret: bool
+) -> jnp.ndarray:
+    """Extract kernel only: bits in the compact slot-rows layout."""
+    b, h, w = frames.shape
     if w % _LANE:
         raise ValueError(f"pallas path needs W % {_LANE} == 0, got {w}")
     stripe = pick_stripe(h)
+    rn = rows_per_block(num_ac)
+    rp = _rows_pad(stripe, rn)
     delta_arr = jnp.asarray(delta, dtype=jnp.float32).reshape(1)
 
     grid = (b, h // stripe)
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    bits_img = pl.pallas_call(
-        functools.partial(_extract_kernel, stripe=stripe, w=w),
+    bits_rows = pl.pallas_call(
+        functools.partial(_extract_kernel, w=w),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
@@ -231,58 +398,59 @@ def _extract_frames_pallas(
             mat_spec, mat_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, rp, w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((b, (h // stripe) * rp, w), jnp.uint8),
         interpret=interpret,
     )(
         frames,
-        jnp.asarray(_vert_matrix(stripe, inverse=False)),
+        jnp.asarray(_vert_reduced_matrix(stripe, rn)),
         jnp.asarray(_horiz_matrix(inverse=False)),
         delta_arr,
     )
 
-    blocks = blockify(bits_img)  # cheap uint8 layout pass
-    return blocks[..., 1 : 1 + num_ac].reshape(b, -1)
+    return bits_rows
 
 
-def _roundtrip_kernel(frames_ref, plane_ref, pv_f_ref, pv_i_ref, bh_f_ref,
-                      bh_i_ref, delta_ref, stego_ref, bits_ref, *, stripe, w):
+def _roundtrip_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
+                      bh_i_ref, delta_ref, lim_ref, stego_ref, bits_ref, *,
+                      stripe, w, num_ac, cap, rn, rp):
     """Embed AND re-extract in one VMEM pass: the quantized stego never
     leaves the chip between the two transforms."""
-    pv_f = pv_f_ref[:]
-    pv_i = pv_i_ref[:]
-    bh_f = bh_f_ref[:]
-    bh_i = bh_i_ref[:]
     delta = delta_ref[0]
-
     x = _u8_to_f32(frames_ref[0])
-    plane = plane_ref[0].astype(jnp.int32)
-    y = _dct2_stripe(x, pv_f, bh_f, w)
+    ys = _dct2_compact(x, pvr_ref[:], bh_f_ref[:], w)
 
-    q = jnp.round(y / delta)
-    parity = jnp.mod(q, 2.0)
-    bit_f = plane.astype(jnp.float32)
-    adjust = jnp.where(parity != bit_f, jnp.where(bit_f == 1.0, 1.0, -1.0), 0.0)
-    y_new = jnp.where(plane < 2, (q + adjust) * delta, y)
-
-    x_out = _dct2_stripe(y_new, pv_i, bh_i, w)
-    x_final = jnp.where(plane == 3, x, x_out)
-    stego_u8 = _f32_to_u8(jnp.clip(x_final, 0.0, 255.0))
+    bits = _u8_to_f32(rows_ref[0])
+    valid = _qim_valid_compact(
+        lim_ref[0], lim_ref[1], stripe=stripe, w=w, num_ac=num_ac, cap=cap,
+        rn=rn, rp=rp,
+    )
+    dy = _qim_sparse_delta(ys, bits, valid, delta)
+    xd = _idct2_sparse(dy, pve_ref[:], bh_i_ref[:], w)
+    stego_u8 = _f32_to_u8(jnp.clip(x + xd, 0.0, 255.0))
     stego_ref[0] = stego_u8
 
     # re-extract from the ACTUAL quantized pixels, still in VMEM
-    x2 = _u8_to_f32(stego_u8)
-    y2 = _dct2_stripe(x2, pv_f, bh_f, w)
+    y2 = _dct2_compact(_u8_to_f32(stego_u8), pvr_ref[:], bh_f_ref[:], w)
     bits_ref[0] = _f32_to_u8(jnp.mod(jnp.round(y2 / delta), 2.0))
 
 
 def embed_and_extract_frames_pallas(frames, payload_bits, total_bits, delta,
                                     num_ac):
-    """Round trip as two pipelined kernels — measured FASTER than the fused
-    single-pass variant below (3,596 vs 3,157 fps at 1080p): the smaller
-    per-program working set lets Mosaic overlap grid steps better than one
-    triple-transform mega-kernel."""
+    """Round trip via the single-pass fused kernel (one HBM frame read, the
+    stego never re-read for re-extraction). In round 1 the two-kernel
+    pipeline measured faster; with the round-2 compact/sparse-delta
+    structure the fused kernel wins (7.9 vs 11.3 ms/128-frame batch at
+    1080p) — re-check per round in benchmarks/ab_kernels.py."""
+    return embed_and_extract_frames_pallas_fused(
+        frames, payload_bits, total_bits, delta, num_ac
+    )
+
+
+def embed_and_extract_frames_pallas_twokernel(frames, payload_bits,
+                                              total_bits, delta, num_ac):
+    """Round trip as two pipelined kernels (kept for A/B benchmarking)."""
     stego, bpf = embed_frames_pallas(frames, payload_bits, total_bits, delta,
                                      num_ac)
     extracted = extract_frames_pallas(stego, delta, num_ac)
@@ -291,10 +459,9 @@ def embed_and_extract_frames_pallas(frames, payload_bits, total_bits, delta,
 
 def embed_and_extract_frames_pallas_fused(frames, payload_bits, total_bits,
                                           delta, num_ac):
-    """Single-pass fused round trip (one HBM read, two writes). Kept for
-    study; see embed_and_extract_frames_pallas for why it is not default."""
+    """Single-pass fused round trip (one HBM read, two writes)."""
     return _embed_and_extract_frames_pallas(
-        frames, payload_bits, total_bits.astype(jnp.int32),
+        frames, payload_bits, jnp.asarray(total_bits, jnp.int32),
         jnp.asarray(delta, jnp.float32), num_ac, _interpret_default(),
     )
 
@@ -307,37 +474,43 @@ def _embed_and_extract_frames_pallas(
     if w % _LANE:
         raise ValueError(f"pallas path needs W % {_LANE} == 0, got {w}")
     stripe = pick_stripe(h)
+    rn = rows_per_block(num_ac)
+    rp = _rows_pad(stripe, rn)
     nb = (h // BLOCK) * (w // BLOCK)
     cap = nb * num_ac
 
-    plane = build_state_plane(payload_bits, total_bits, h, w, num_ac, 0)
+    rows = payload_to_rows(payload_bits, h, w, num_ac, stripe)
     delta_arr = delta.reshape(1)
+    lim = jnp.stack([total_bits, jnp.int32(0)]).astype(jnp.int32)
 
     grid = (b, h // stripe)
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     tile_spec = pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM)
-    stego, bits_img = pl.pallas_call(
-        functools.partial(_roundtrip_kernel, stripe=stripe, w=w),
+    rows_spec = pl.BlockSpec((1, rp, w), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    stego, bits_rows = pl.pallas_call(
+        functools.partial(_roundtrip_kernel, stripe=stripe, w=w,
+                          num_ac=num_ac, cap=cap, rn=rn, rp=rp),
         grid=grid,
-        in_specs=[tile_spec, tile_spec, mat_spec, mat_spec, mat_spec, mat_spec,
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(tile_spec, tile_spec),
+        in_specs=[tile_spec, rows_spec, mat_spec, mat_spec, mat_spec,
+                  mat_spec, smem_spec, smem_spec],
+        out_specs=(tile_spec, rows_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
-            jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((b, (h // stripe) * rp, w), jnp.uint8),
         ),
         interpret=interpret,
     )(
-        frames, plane,
-        jnp.asarray(_vert_matrix(stripe, inverse=False)),
-        jnp.asarray(_vert_matrix(stripe, inverse=True)),
+        frames, rows,
+        jnp.asarray(_vert_reduced_matrix(stripe, rn)),
+        jnp.asarray(_vert_expand_matrix(stripe, rn)),
         jnp.asarray(_horiz_matrix(inverse=False)),
         jnp.asarray(_horiz_matrix(inverse=True)),
-        delta_arr,
+        delta_arr, lim,
     )
-    blocks = blockify(bits_img)
-    extracted = blocks[..., 1 : 1 + num_ac].reshape(b, -1)
+    extracted = rows_to_bits(bits_rows, h, w, num_ac, stripe)
     bits_per_frame = jnp.clip(
         total_bits - jnp.arange(b, dtype=jnp.int32) * cap, 0, cap
     )

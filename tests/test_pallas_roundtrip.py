@@ -7,6 +7,7 @@ import numpy as np
 from stegotpu.ops.pallas_kernel import (
     embed_and_extract_frames_pallas,
     embed_and_extract_frames_pallas_fused,
+    embed_and_extract_frames_pallas_twokernel,
     embed_frames_pallas,
     extract_frames_pallas,
 )
@@ -27,9 +28,11 @@ def test_fused_roundtrip_matches_two_pass(rng):
     stego_f, bpf_f, ex_f = embed_and_extract_frames_pallas_fused(*args)
     stego_2, bpf_2 = embed_frames_pallas(*args)
     ex_2 = extract_frames_pallas(stego_2, jnp.float32(DELTA), N_AC)
-    stego_c, bpf_c, ex_c = embed_and_extract_frames_pallas(*args)
-    np.testing.assert_array_equal(np.asarray(stego_c), np.asarray(stego_2))
-    np.testing.assert_array_equal(np.asarray(ex_c), np.asarray(ex_2))
+    for variant in (embed_and_extract_frames_pallas,
+                    embed_and_extract_frames_pallas_twokernel):
+        stego_c, bpf_c, ex_c = variant(*args)
+        np.testing.assert_array_equal(np.asarray(stego_c), np.asarray(stego_2))
+        np.testing.assert_array_equal(np.asarray(ex_c), np.asarray(ex_2))
 
     np.testing.assert_array_equal(np.asarray(stego_f), np.asarray(stego_2))
     np.testing.assert_array_equal(np.asarray(bpf_f), np.asarray(bpf_2))
