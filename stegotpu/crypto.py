@@ -36,12 +36,28 @@ from stegotpu.config import (
 )
 
 CURVE = ec.SECP256R1()
+# group order of SECP256R1 (SEC 2), for deterministic scalar derivation
+_P256_ORDER = 0xFFFFFFFF00000000FFFFFFFFFFFFFFFFBCE6FAADA7179E84F3B9CAC2FC632551
+
+
+def _random_bytes(n: int, rng=None) -> bytes:
+    """os.urandom, or bytes from an injected numpy Generator.
+
+    The injected-RNG path exists for DETERMINISTIC TEST BUILDS ONLY (frozen
+    wire-compat golden artifacts need a reproducible ephemeral key / salt /
+    nonce); production callers never pass rng.
+    """
+    return os.urandom(n) if rng is None else rng.bytes(n)
 
 
 # --- keypairs and point serialization ---------------------------------------
 
-def generate_keypair() -> tuple[ec.EllipticCurvePrivateKey, ec.EllipticCurvePublicKey]:
-    priv = ec.generate_private_key(CURVE)
+def generate_keypair(rng=None) -> tuple[ec.EllipticCurvePrivateKey, ec.EllipticCurvePublicKey]:
+    if rng is None:
+        priv = ec.generate_private_key(CURVE)
+    else:  # deterministic test builds: derive the scalar from the rng
+        val = int.from_bytes(_random_bytes(48, rng), "big") % (_P256_ORDER - 1) + 1
+        priv = ec.derive_private_key(val, CURVE)
     return priv, priv.public_key()
 
 
@@ -73,11 +89,11 @@ def derive_aes_key(
 
 # --- AES-GCM -----------------------------------------------------------------
 
-def aes_gcm_encrypt(plaintext: bytes, key: bytes) -> tuple[bytes, bytes, bytes]:
+def aes_gcm_encrypt(plaintext: bytes, key: bytes, rng=None) -> tuple[bytes, bytes, bytes]:
     """Returns (ciphertext, nonce, tag); tag split off the AESGCM output tail."""
     if len(key) not in (16, 24, 32):
         raise ValueError("AES key must be 16, 24, or 32 bytes")
-    nonce = os.urandom(GCM_NONCE_BYTES)
+    nonce = _random_bytes(GCM_NONCE_BYTES, rng)
     ct_with_tag = AESGCM(key).encrypt(nonce, plaintext, None)
     return ct_with_tag[:-GCM_TAG_BYTES], nonce, ct_with_tag[-GCM_TAG_BYTES:]
 
@@ -171,5 +187,5 @@ def setup_receiver_keys(
     return priv, serialize_public_compressed(pub)
 
 
-def hkdf_salt() -> bytes:
-    return os.urandom(HKDF_SALT_BYTES)
+def hkdf_salt(rng=None) -> bytes:
+    return _random_bytes(HKDF_SALT_BYTES, rng)

@@ -128,18 +128,22 @@ def seal_payload(
     height: int,
     receiver_pub_compressed: bytes,
     dims_bits: int = DIMS_BITS,
+    rng=None,
 ) -> tuple[BitArray, PayloadParts]:
     """Crypto stage + framing: SHA3, ephemeral ECDH, HKDF, AES-GCM, assemble.
+
+    rng: optional numpy Generator making the ephemeral key / salt / nonce
+    deterministic — test builds only (frozen golden artifacts).
 
     (reference: embed_process.py:30-86, stages 1-2)
     """
     sha3 = crypto.sha3_256(image_bytes)
-    eph_priv, eph_pub = crypto.generate_keypair()
+    eph_priv, eph_pub = crypto.generate_keypair(rng)
     receiver_pub = crypto.deserialize_public_compressed(receiver_pub_compressed)
     shared = crypto.ecdh_shared_secret(eph_priv, receiver_pub)
-    salt = crypto.hkdf_salt()
+    salt = crypto.hkdf_salt(rng)
     aes_key = crypto.derive_aes_key(shared, salt)
-    ciphertext, nonce, tag = crypto.aes_gcm_encrypt(image_bytes, aes_key)
+    ciphertext, nonce, tag = crypto.aes_gcm_encrypt(image_bytes, aes_key, rng)
     parts = PayloadParts(
         secret_width=width,
         secret_height=height,

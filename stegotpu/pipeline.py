@@ -78,12 +78,17 @@ def embed_image_in_video(
     receiver_pub_compressed: bytes,
     config: StegoConfig = StegoConfig(),
     batch_frames: int = 8,
+    rng=None,
 ) -> EmbedResult:
-    """Embed an encrypted secret image into a video, file to file."""
+    """Embed an encrypted secret image into a video, file to file.
+
+    rng: optional numpy Generator for a DETERMINISTIC crypto stage
+    (ephemeral key/salt/nonce) — test builds only; see payload.seal_payload.
+    """
     width, height, img_bits = image_codec.image_to_bits(secret_image)
     img_bytes = bits_to_bytes(img_bits)
     return _embed_payload(video_in, img_bytes, width, height, video_out,
-                          receiver_pub_compressed, config, batch_frames)
+                          receiver_pub_compressed, config, batch_frames, rng)
 
 
 def embed_data_in_video(
@@ -107,11 +112,13 @@ def embed_data_in_video(
 def _embed_payload(
     video_in, plaintext: bytes, width: int, height: int, video_out,
     receiver_pub_compressed: bytes, config: StegoConfig, batch_frames: int,
+    rng=None,
 ) -> EmbedResult:
     if config.delta <= 0:
         raise ValueError("embedding requires delta >= 1 (delta <= 0 embeds nothing)")
     all_bits, _parts = payload_mod.seal_payload(
-        plaintext, width, height, receiver_pub_compressed, config.dims_bits
+        plaintext, width, height, receiver_pub_compressed, config.dims_bits,
+        rng=rng,
     )
     total = int(all_bits.size)
 
