@@ -50,14 +50,30 @@ def cmd_genkey(args) -> int:
     return 0
 
 
+def _make_timer(args):
+    if not getattr(args, "timing", False):
+        return None
+    from stegotpu.utils.profiling import StageTimer
+
+    return StageTimer()
+
+
+def _report_timer(timer) -> None:
+    if timer is not None and timer.totals:
+        print("--- stage timing ---", file=sys.stderr)
+        print(timer.report(), file=sys.stderr)
+
+
 def cmd_embed(args) -> int:
     from stegotpu.pipeline import embed_image_in_video
 
     pub = crypto.serialize_public_compressed(crypto.load_public_pem(args.public_key))
+    timer = _make_timer(args)
     res = embed_image_in_video(
         args.cover, args.secret, args.output, pub,
-        _config_from_args(args), batch_frames=args.batch,
+        _config_from_args(args), batch_frames=args.batch, timer=timer,
     )
+    _report_timer(timer)
     if not res.success:
         print(f"EMBED FAILED: {res.bits_embedded}/{res.total_payload_bits} bits "
               f"embedded before the video ended", file=sys.stderr)
@@ -74,10 +90,12 @@ def cmd_extract(args) -> int:
     from stegotpu.pipeline import extract_image_from_video
 
     priv = crypto.load_private_pem(args.private_key)
+    timer = _make_timer(args)
     res = extract_image_from_video(
         args.stego, priv, _config_from_args(args), args.output,
-        batch_frames=args.batch,
+        batch_frames=args.batch, timer=timer,
     )
+    _report_timer(timer)
     if not res.success:
         print(f"EXTRACT FAILED: {res.error}", file=sys.stderr)
         return 1
@@ -331,6 +349,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--batch", type=int, default=8, help="frames per device batch")
     e.add_argument("--verified", action="store_true",
                    help="closed-loop embed repair: BER=0 even on saturated covers")
+    e.add_argument("--timing", action="store_true",
+                   help="print decode/device/encode stage timing to stderr")
     _add_qim_flags(e)
     e.set_defaults(fn=cmd_embed)
 
@@ -349,6 +369,8 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("output", help="output image path (PNG)")
     x.add_argument("--private-key", default="bob_private_key.pem")
     x.add_argument("--batch", type=int, default=8)
+    x.add_argument("--timing", action="store_true",
+                   help="print decode/device/encode stage timing to stderr")
     _add_qim_flags(x)
     x.set_defaults(fn=cmd_extract)
 

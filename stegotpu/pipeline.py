@@ -39,6 +39,34 @@ from stegotpu.video import Prefetcher, VideoReader, VideoWriter, force_avi_path
 log = logging.getLogger("stegotpu")
 
 
+def _timed_iter(iterable, timer, name: str):
+    """Yield from iterable, attributing the time spent WAITING on it (i.e.
+    host decode not hidden by the Prefetcher) to a timer stage."""
+    if timer is None:
+        yield from iterable
+        return
+    it = iter(iterable)
+    while True:
+        with timer.stage(name):
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+        yield item
+
+
+class _NullStage:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def _stage(timer, name: str):
+    return timer.stage(name) if timer is not None else _NullStage()
+
+
 @dataclasses.dataclass
 class EmbedResult:
     success: bool
@@ -79,16 +107,20 @@ def embed_image_in_video(
     config: StegoConfig = StegoConfig(),
     batch_frames: int = 8,
     rng=None,
+    timer=None,
 ) -> EmbedResult:
     """Embed an encrypted secret image into a video, file to file.
 
     rng: optional numpy Generator for a DETERMINISTIC crypto stage
     (ephemeral key/salt/nonce) — test builds only; see payload.seal_payload.
+    timer: optional utils.profiling.StageTimer collecting decode_wait /
+    gray_convert / device_dispatch / device_readback / encode stage totals.
     """
     width, height, img_bits = image_codec.image_to_bits(secret_image)
     img_bytes = bits_to_bytes(img_bits)
     return _embed_payload(video_in, img_bytes, width, height, video_out,
-                          receiver_pub_compressed, config, batch_frames, rng)
+                          receiver_pub_compressed, config, batch_frames, rng,
+                          timer)
 
 
 def embed_data_in_video(
@@ -112,7 +144,7 @@ def embed_data_in_video(
 def _embed_payload(
     video_in, plaintext: bytes, width: int, height: int, video_out,
     receiver_pub_compressed: bytes, config: StegoConfig, batch_frames: int,
-    rng=None,
+    rng=None, timer=None,
 ) -> EmbedResult:
     if config.delta <= 0:
         raise ValueError("embedding requires delta >= 1 (delta <= 0 embeds nothing)")
@@ -145,22 +177,25 @@ def _embed_payload(
         def drain(writer, item):
             nonlocal first_orig, first_stego
             batch_bgr, gray, n, bpf, stego_dev, is_first = item
-            stego = np.asarray(stego_dev)[:n]
+            with _stage(timer, "device_readback"):
+                stego = np.asarray(stego_dev)[:n]
             if is_first:
                 first_orig = gray[0].copy()
                 first_stego = stego[0].copy()
-            for i in range(n):
-                if bpf[i] > 0:
-                    writer.write_gray_batch(stego[i : i + 1])
-                else:
-                    writer.write_bgr(batch_bgr[i])
+            with _stage(timer, "encode"):
+                for i in range(n):
+                    if bpf[i] > 0:
+                        writer.write_gray_batch(stego[i : i + 1])
+                    else:
+                        writer.write_bgr(batch_bgr[i])
 
         with VideoWriter(out_path, reader.info.fps, w8, h8, config.codec) as writer, \
                 Prefetcher(reader.batches(batch_frames)) as prefetched:
-            for batch_bgr in prefetched:
+            for batch_bgr in _timed_iter(prefetched, timer, "decode_wait"):
                 n = batch_bgr.shape[0]
                 if cursor < total:
-                    gray = bgr_to_gray_np(batch_bgr)  # cv2-bit-exact conversion
+                    with _stage(timer, "gray_convert"):
+                        gray = bgr_to_gray_np(batch_bgr)  # cv2-bit-exact
                     if n < batch_frames:  # stable jit shape for the tail batch
                         gray = np.concatenate(
                             [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
@@ -173,24 +208,26 @@ def _embed_payload(
                     if config.verified_embed:
                         from stegotpu.ops.verified import embed_frames_verified
 
-                        stego_dev, _bpf_dev, residual = embed_frames_verified(
-                            jnp.asarray(gray), jnp.asarray(seg),
-                            jnp.int32(remaining), delta, config.num_ac_coeffs,
-                            repair_rounds=config.repair_rounds,
-                        )
+                        with _stage(timer, "device_dispatch"):
+                            stego_dev, _bpf_dev, residual = embed_frames_verified(
+                                jnp.asarray(gray), jnp.asarray(seg),
+                                jnp.int32(remaining), delta, config.num_ac_coeffs,
+                                repair_rounds=config.repair_rounds,
+                            )
                         if int(residual):
                             log.warning(
                                 "verified embed: %d unrepairable slots "
                                 "(extremely saturated cover)", int(residual),
                             )
                     else:
-                        stego_dev, _bpf_dev = embed_fn(config.kernel, h8, w8)(
-                            jnp.asarray(gray),
-                            jnp.asarray(seg),
-                            jnp.int32(remaining),
-                            delta,
-                            config.num_ac_coeffs,
-                        )
+                        with _stage(timer, "device_dispatch"):
+                            stego_dev, _bpf_dev = embed_fn(config.kernel, h8, w8)(
+                                jnp.asarray(gray),
+                                jnp.asarray(seg),
+                                jnp.int32(remaining),
+                                delta,
+                                config.num_ac_coeffs,
+                            )
                     # host-side bits-per-frame (identical to the device calc)
                     bpf = np.clip(
                         remaining - np.arange(n, dtype=np.int64) * cap_bits,
@@ -210,7 +247,8 @@ def _embed_payload(
                     if pending is not None:
                         drain(writer, pending)
                         pending = None
-                    writer.write_bgr_batch(batch_bgr)
+                    with _stage(timer, "encode"):
+                        writer.write_bgr_batch(batch_bgr)
                 frames_seen += n
             if pending is not None:
                 drain(writer, pending)
@@ -230,8 +268,12 @@ def extract_image_from_video(
     config: StegoConfig = StegoConfig(),
     output_image: str | Path | None = None,
     batch_frames: int = 8,
+    timer=None,
 ) -> ExtractResult:
-    """Extract, decrypt, and verify the secret image from a stego video."""
+    """Extract, decrypt, and verify the secret image from a stego video.
+
+    timer: optional utils.profiling.StageTimer (see embed_image_in_video).
+    """
     with VideoReader(stego_video) as reader:
         h8, w8 = reader.info.cropped
         if h8 == 0 or w8 == 0:
@@ -255,7 +297,8 @@ def extract_image_from_video(
             """Pull a device result; True when the payload parse completed."""
             nonlocal collected_bits, needed, parts, parse_error
             n, dev = item
-            bits = np.asarray(dev)[:n].reshape(-1)
+            with _stage(timer, "device_readback"):
+                bits = np.asarray(dev)[:n].reshape(-1)
             collected.append(bits)
             collected_bits += bits.size
             # only pay the concatenate+parse when enough bits could exist
@@ -275,16 +318,18 @@ def extract_image_from_video(
                 return True
 
         with Prefetcher(reader.batches(batch_frames)) as prefetched:
-            for batch_bgr in prefetched:
+            for batch_bgr in _timed_iter(prefetched, timer, "decode_wait"):
                 n = batch_bgr.shape[0]
-                gray = bgr_to_gray_np(batch_bgr)
+                with _stage(timer, "gray_convert"):
+                    gray = bgr_to_gray_np(batch_bgr)
                 if n < batch_frames:
                     gray = np.concatenate(
                         [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
                     )
-                dev = extract_fn(config.kernel, h8, w8)(
-                    jnp.asarray(gray), delta, config.num_ac_coeffs
-                )
+                with _stage(timer, "device_dispatch"):
+                    dev = extract_fn(config.kernel, h8, w8)(
+                        jnp.asarray(gray), delta, config.num_ac_coeffs
+                    )
                 done = pending is not None and ingest(pending)
                 pending = (n, dev)
                 if done:

@@ -149,3 +149,27 @@ def test_trailing_frames_passthrough_color(media, keys, tmp_path):
 def test_force_avi_path():
     assert force_avi_path("out.mp4") == "out.avi"
     assert force_avi_path("dir/base") == "dir/base.avi"
+
+
+def test_stage_timer_covers_all_pipeline_stages(media, keys, tmp_path):
+    """--timing instrumentation: every stage of both pipelines accumulates."""
+    from stegotpu.utils.profiling import StageTimer
+
+    priv, pub_c = keys
+    cfg = StegoConfig(delta=20, num_ac_coeffs=10)
+    t_embed = StageTimer()
+    res = embed_image_in_video(
+        media / "cover.mp4", media / "secret.png", tmp_path / "stego", pub_c,
+        cfg, batch_frames=4, timer=t_embed,
+    )
+    assert res.success
+    assert {"decode_wait", "gray_convert", "device_dispatch",
+            "device_readback", "encode"} <= set(t_embed.totals)
+
+    t_ext = StageTimer()
+    ext = extract_image_from_video(res.output_path, priv, cfg,
+                                   batch_frames=4, timer=t_ext)
+    assert ext.success
+    assert {"decode_wait", "gray_convert", "device_dispatch",
+            "device_readback"} <= set(t_ext.totals)
+    assert "ms/call" in t_ext.report()
