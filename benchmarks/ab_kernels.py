@@ -22,7 +22,8 @@ def main(b=16, h=1080, w=1920, n_ac=10, iters=10):
 
     from stegotpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
-    from stegotpu.ops import qim, qim_fast
+    from stegotpu.ops import qim
+    from stegotpu.ops.experimental import qim_fast
 
     cap = (h // 8) * (w // 8) * n_ac
     rng = np.random.default_rng(0)

@@ -37,7 +37,7 @@ from stegotpu.ops.pallas_kernel import (
     _u8_to_f32,
     pick_stripe,
 )
-from stegotpu.ops.qim_fast import build_plane_blocks
+from stegotpu.ops.experimental.qim_fast import build_plane_blocks
 
 
 def _blockify_tile(x, stripe, w):

@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from stegotpu.ops.pallas_kron import (
+from stegotpu.ops.experimental.pallas_kron import (
     embed_and_extract_frames_kron,
     embed_frames_kron,
     extract_frames_kron,

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from stegotpu.ops.qim import embed_frames, extract_frames
-from stegotpu.ops.qim_fast import (
+from stegotpu.ops.experimental.qim_fast import (
     build_state_plane,
     embed_frames_fast,
     extract_frames_fast,
