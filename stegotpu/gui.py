@@ -131,11 +131,30 @@ class StegoApp:
                     self.log.insert("end", msg + "\n", tag)
                     self.log.see("end")
                     self.log.configure(state="disabled")
+                elif kind == "preview":
+                    self._show_preview(rest[0])
                 elif kind == "done":
                     self.run_btn.configure(state="normal")
         except queue.Empty:
             pass
         self.root.after(100, self._drain)
+
+    def _show_preview(self, path: str) -> None:
+        """Pop up the recovered secret (reference parity: app.py:382-383
+        shows the extracted image after extraction). Runs on the Tk main
+        thread only — workers request it through the queue."""
+        try:
+            img = tk.PhotoImage(file=path)
+            zoom = max(1, 128 // max(1, img.width(), img.height()))
+            if zoom > 1:
+                img = img.zoom(zoom, zoom)
+            win = tk.Toplevel(self.root)
+            win.title(f"extracted secret — {path}")
+            label = tk.Label(win, image=img)
+            label.image = img  # keep a reference or Tk garbage-collects it
+            label.pack(padx=8, pady=8)
+        except tk.TclError as e:
+            self._log(f"preview unavailable: {e}", "INFO")
 
     # --- operations ----------------------------------------------------------
 
@@ -220,13 +239,18 @@ class StegoApp:
         if not res.success:
             self._log(f"EXTRACT FAILED: {res.error}", "ERR")
             return
-        self._log(
-            f"extracted {res.parts.secret_width}x{res.parts.secret_height} "
-            f"image -> {out}", "OK")
+        if res.is_raw_data:
+            self._log(f"extracted {len(res.data)} bytes of raw data -> {out}",
+                      "OK")
+        else:
+            self._log(
+                f"extracted {res.parts.secret_width}x{res.parts.secret_height} "
+                f"image -> {out}", "OK")
+            self._q.put(("preview", out))
         self._log("SHA3-256 integrity: " + ("OK" if res.hash_ok else "MISMATCH"),
                   "OK" if res.hash_ok else "ERR")
         orig = self.paths["secret"].get()
-        if orig:
+        if orig and not res.is_raw_data:
             cmp = compare_images(orig, out)
             self._log(
                 f"vs original secret: PSNR {cmp.psnr:.2f} dB, "

@@ -1,4 +1,10 @@
-"""GUI smoke tests — skipped when no display is available (headless CI)."""
+"""GUI smoke tests.
+
+The Tk-backed tests skip when no display is available (headless CI; Xvfb is
+not installed in this container). The worker-logic tests run headlessly by
+duck-typing the app object: workers only touch plain Python state (queue,
+paths dict, config), never Tk — that separation is the point of the design.
+"""
 
 import queue
 
@@ -52,3 +58,91 @@ def test_gui_log_queue_drains():
             pass
     finally:
         root.destroy()
+
+
+class _Var:
+    def __init__(self, value=""):
+        self._v = value
+
+    def get(self):
+        return self._v
+
+
+class _HeadlessApp:
+    """Duck-typed stand-in: real worker methods, no Tk objects."""
+
+    def __init__(self, paths, delta=20, coeffs=10):
+        from stegotpu.gui import StegoApp
+
+        self._q = queue.Queue()
+        self.paths = {k: _Var(v) for k, v in paths.items()}
+        self._delta, self._coeffs = delta, coeffs
+        self._do_extract = StegoApp._do_extract.__get__(self)
+        self._do_embed = StegoApp._do_embed.__get__(self)
+
+    def _config(self):
+        from stegotpu.config import StegoConfig
+
+        return StegoConfig(delta=self._delta, num_ac_coeffs=self._coeffs)
+
+    def _log(self, msg, tag="INFO"):
+        self._q.put(("log", msg, tag))
+
+    def drain(self):
+        out = []
+        try:
+            while True:
+                out.append(self._q.get_nowait())
+        except queue.Empty:
+            return out
+
+
+def test_gui_worker_embed_extract_headless(tmp_path):
+    """The embed and extract workers run end-to-end with no display, and
+    extraction requests the image PREVIEW through the queue (reference
+    parity: app.py:382-383 shows the recovered secret)."""
+    from stegotpu import crypto, fixtures
+
+    fixtures.make_secret_image(tmp_path / "secret.png", 16, 16, kind="pattern")
+    fixtures.make_cover_video(tmp_path / "cover.mp4", 320, 240, frames=4,
+                              kind="moving")
+    crypto.setup_receiver_keys(tmp_path / "priv.pem", tmp_path / "pub.pem")
+
+    app = _HeadlessApp({
+        "cover": str(tmp_path / "cover.mp4"),
+        "secret": str(tmp_path / "secret.png"),
+        "stego_out": str(tmp_path / "stego.avi"),
+        "stego_in": str(tmp_path / "stego.avi"),
+        "image_out": str(tmp_path / "extracted.png"),
+        "pub_key": str(tmp_path / "pub.pem"),
+        "priv_key": str(tmp_path / "priv.pem"),
+    })
+    app._do_embed()
+    msgs = app.drain()
+    assert any("embedded" in m[1] for m in msgs if m[0] == "log")
+    assert not any(m[2] == "ERR" for m in msgs if m[0] == "log")
+
+    app._do_extract()
+    msgs = app.drain()
+    assert any("SHA3-256 integrity: OK" in m[1] for m in msgs if m[0] == "log")
+    previews = [m for m in msgs if m[0] == "preview"]
+    assert previews == [("preview", str(tmp_path / "extracted.png"))]
+
+
+def test_gui_worker_extract_failure_is_logged_not_raised(tmp_path):
+    from stegotpu import crypto, fixtures
+
+    fixtures.make_cover_video(tmp_path / "plain.mp4", 320, 240, frames=2,
+                              kind="noise")
+    crypto.setup_receiver_keys(tmp_path / "priv.pem", tmp_path / "pub.pem")
+    app = _HeadlessApp({
+        "stego_in": str(tmp_path / "plain.mp4"),
+        "image_out": str(tmp_path / "x.png"),
+        "priv_key": str(tmp_path / "priv.pem"),
+        "secret": "",
+    })
+    app._do_extract()
+    msgs = app.drain()
+    assert any(m[2] == "ERR" and "EXTRACT FAILED" in m[1]
+               for m in msgs if m[0] == "log")
+    assert not [m for m in msgs if m[0] == "preview"]
