@@ -7,6 +7,12 @@
 //
 // Reader: demux -> multi-threaded decoder -> swscale to BGR24 batches.
 // Writer: BGR24 -> FFV1 (lossless) in .avi, matching the reference container.
+//   FFV1 is intra-only; with gop_size=1 every frame is an independent
+//   keyframe, so the writer runs a POOL of identical encoder contexts that
+//   encode a batch's frames concurrently (frame-level parallelism — FFV1's
+//   own slice threading tops out within one frame) and muxes the packets in
+//   pts order. benchmarks/ffv1_host.py showed the encoder is the end-to-end
+//   bottleneck at ~0.2-0.45 core-seconds per 1080p frame.
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -16,10 +22,12 @@ extern "C" {
 #include <libswscale/swscale.h>
 }
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
 #include <thread>
+#include <vector>
 
 namespace {
 
@@ -39,13 +47,20 @@ struct Reader {
   std::string err;
 };
 
-struct Writer {
-  AVFormatContext* fmt = nullptr;
+// One encoder lane of the pool: its own context, converter, and scratch.
+struct EncLane {
   AVCodecContext* enc = nullptr;
-  AVStream* stream = nullptr;
   SwsContext* sws = nullptr;
   AVFrame* frame = nullptr;
   AVPacket* pkt = nullptr;
+  std::vector<AVPacket*> out;  // packets produced this batch (cloned)
+  bool failed = false;
+};
+
+struct Writer {
+  AVFormatContext* fmt = nullptr;
+  AVStream* stream = nullptr;
+  std::vector<EncLane> lanes;
   int width = 0, height = 0;
   int64_t pts = 0;
   std::string err;
@@ -55,17 +70,59 @@ thread_local std::string g_last_error;
 
 void set_err(const std::string& e) { g_last_error = e; }
 
-int send_to_sink(Writer* w) {
+// Encode one tightly packed BGR24 frame on a lane; clone emitted packets.
+bool lane_encode(EncLane* l, const uint8_t* src, int width, int height,
+                 int64_t pts) {
+  const int src_stride = width * 3;
+  const uint8_t* src_planes[1] = {src};
+  const int src_strides[1] = {src_stride};
+  av_frame_make_writable(l->frame);
+  sws_scale(l->sws, src_planes, src_strides, 0, height, l->frame->data,
+            l->frame->linesize);
+  l->frame->pts = pts;
+  if (avcodec_send_frame(l->enc, l->frame) < 0) return false;
   while (true) {
-    int ret = avcodec_receive_packet(w->enc, w->pkt);
-    if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return 0;
-    if (ret < 0) return ret;
-    av_packet_rescale_ts(w->pkt, w->enc->time_base, w->stream->time_base);
-    w->pkt->stream_index = w->stream->index;
-    ret = av_interleaved_write_frame(w->fmt, w->pkt);
-    av_packet_unref(w->pkt);
-    if (ret < 0) return ret;
+    int ret = avcodec_receive_packet(l->enc, l->pkt);
+    if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return true;
+    if (ret < 0) return false;
+    l->out.push_back(av_packet_clone(l->pkt));
+    av_packet_unref(l->pkt);
   }
+}
+
+// Drain a flushed lane into its out vector.
+bool lane_flush(EncLane* l) {
+  if (avcodec_send_frame(l->enc, nullptr) < 0) return false;
+  while (true) {
+    int ret = avcodec_receive_packet(l->enc, l->pkt);
+    if (ret == AVERROR_EOF || ret == AVERROR(EAGAIN)) return true;
+    if (ret < 0) return false;
+    l->out.push_back(av_packet_clone(l->pkt));
+    av_packet_unref(l->pkt);
+  }
+}
+
+// Mux every lane's collected packets in pts order (all FFV1 frames are
+// independent keyframes, so pts order is the only constraint).
+int mux_collected(Writer* w) {
+  std::vector<AVPacket*> all;
+  for (auto& l : w->lanes) {
+    all.insert(all.end(), l.out.begin(), l.out.end());
+    l.out.clear();
+  }
+  std::sort(all.begin(), all.end(),
+            [](const AVPacket* a, const AVPacket* b) { return a->pts < b->pts; });
+  int rc = 0;
+  for (AVPacket* p : all) {
+    if (rc == 0) {
+      av_packet_rescale_ts(p, w->lanes[0].enc->time_base,
+                           w->stream->time_base);
+      p->stream_index = w->stream->index;
+      if (av_interleaved_write_frame(w->fmt, p) < 0) rc = -1;
+    }
+    av_packet_free(&p);
+  }
+  return rc;
 }
 
 }  // namespace
@@ -204,7 +261,59 @@ void svx_reader_close(void* h) {
 
 // ---------------------------------------------------------------- writer ----
 
-void* svx_writer_open(const char* path, int width, int height, double fps) {
+namespace {
+
+void free_lane(EncLane& l) {
+  for (AVPacket* p : l.out) av_packet_free(&p);
+  l.out.clear();
+  if (l.sws) sws_freeContext(l.sws);
+  if (l.frame) av_frame_free(&l.frame);
+  if (l.pkt) av_packet_free(&l.pkt);
+  if (l.enc) avcodec_free_context(&l.enc);
+}
+
+void destroy_writer(Writer* w) {
+  for (auto& l : w->lanes) free_lane(l);
+  if (w->fmt) {
+    if (w->fmt->pb && !(w->fmt->oformat->flags & AVFMT_NOFILE))
+      avio_closep(&w->fmt->pb);
+    avformat_free_context(w->fmt);
+  }
+  delete w;
+}
+
+bool open_lane(EncLane& l, const AVCodec* codec, int width, int height,
+               AVRational tb, int threads_per_lane) {
+  l.enc = avcodec_alloc_context3(codec);
+  l.enc->width = width;
+  l.enc->height = height;
+  // BGR0: FFV1's lossless packed-RGB format — BGR24 samples survive exactly.
+  l.enc->pix_fmt = AV_PIX_FMT_BGR0;
+  l.enc->time_base = tb;
+  // every frame an independent keyframe: required for the parallel pool,
+  // and the archival norm for FFV1
+  l.enc->gop_size = 1;
+  l.enc->thread_count = threads_per_lane;
+  l.enc->thread_type = FF_THREAD_SLICE;
+  av_opt_set_int(l.enc->priv_data, "slicecrc", 1, 0);
+  if (avcodec_open2(l.enc, codec, nullptr) < 0) return false;
+  l.sws = sws_getContext(width, height, AV_PIX_FMT_BGR24, width, height,
+                         AV_PIX_FMT_BGR0, SWS_POINT, nullptr, nullptr, nullptr);
+  l.frame = av_frame_alloc();
+  l.frame->format = AV_PIX_FMT_BGR0;
+  l.frame->width = width;
+  l.frame->height = height;
+  av_frame_get_buffer(l.frame, 32);
+  l.pkt = av_packet_alloc();
+  return true;
+}
+
+}  // namespace
+
+// Open a writer with `workers` parallel FFV1 encoder lanes (0 = auto:
+// hardware threads, capped at 8; batches smaller than the pool use fewer).
+void* svx_writer_open2(const char* path, int width, int height, double fps,
+                       int workers) {
   auto* w = new Writer();
   w->width = width;
   w->height = height;
@@ -216,79 +325,86 @@ void* svx_writer_open(const char* path, int width, int height, double fps) {
   const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_FFV1);
   if (!codec) {
     set_err("FFV1 encoder unavailable");
-    avformat_free_context(w->fmt);
-    delete w;
+    destroy_writer(w);
     return nullptr;
   }
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (hw < 1) hw = 1;
+  int n = workers > 0 ? workers : std::min(hw, 8);
+  // with one lane, give FFV1's slice threading all the cores; with a pool,
+  // one thread per lane (frame-level parallelism subsumes slice-level)
+  int per_lane = n == 1 ? hw : 1;
+
   w->stream = avformat_new_stream(w->fmt, nullptr);
-  w->enc = avcodec_alloc_context3(codec);
-  w->enc->width = width;
-  w->enc->height = height;
-  // BGR0: FFV1's lossless packed-RGB format — BGR24 samples survive exactly.
-  w->enc->pix_fmt = AV_PIX_FMT_BGR0;
   AVRational tb = av_d2q(1.0 / (fps > 0 ? fps : 24.0), 1 << 24);
-  w->enc->time_base = tb;
   w->stream->time_base = tb;
-  w->enc->thread_count = static_cast<int>(std::thread::hardware_concurrency());
-  w->enc->thread_type = FF_THREAD_SLICE;
-  // FFV1 slice-parallel encoding: slices ride threads
-  av_opt_set_int(w->enc->priv_data, "slicecrc", 1, 0);
-  if (avcodec_open2(w->enc, codec, nullptr) < 0) {
-    set_err("cannot open FFV1 encoder");
-    avcodec_free_context(&w->enc);
-    avformat_free_context(w->fmt);
-    delete w;
-    return nullptr;
+  w->lanes.resize(static_cast<size_t>(n));
+  for (auto& l : w->lanes) {
+    if (!open_lane(l, codec, width, height, tb, per_lane)) {
+      set_err("cannot open FFV1 encoder");
+      destroy_writer(w);
+      return nullptr;
+    }
   }
-  avcodec_parameters_from_context(w->stream->codecpar, w->enc);
+  avcodec_parameters_from_context(w->stream->codecpar, w->lanes[0].enc);
   if (!(w->fmt->oformat->flags & AVFMT_NOFILE)) {
     if (avio_open(&w->fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
       set_err(std::string("cannot open output file: ") + path);
-      avcodec_free_context(&w->enc);
-      avformat_free_context(w->fmt);
-      delete w;
+      destroy_writer(w);
       return nullptr;
     }
   }
   if (avformat_write_header(w->fmt, nullptr) < 0) {
     set_err("cannot write avi header");
-    avcodec_free_context(&w->enc);
-    avformat_free_context(w->fmt);
-    delete w;
+    destroy_writer(w);
     return nullptr;
   }
-  w->sws = sws_getContext(width, height, AV_PIX_FMT_BGR24, width, height,
-                          AV_PIX_FMT_BGR0, SWS_POINT, nullptr, nullptr, nullptr);
-  w->frame = av_frame_alloc();
-  w->frame->format = AV_PIX_FMT_BGR0;
-  w->frame->width = width;
-  w->frame->height = height;
-  av_frame_get_buffer(w->frame, 32);
-  w->pkt = av_packet_alloc();
   return w;
 }
 
-// Write n tightly packed BGR24 frames. Returns 0 on success.
+void* svx_writer_open(const char* path, int width, int height, double fps) {
+  return svx_writer_open2(path, width, height, fps, 0);
+}
+
+// Write n tightly packed BGR24 frames. Returns 0 on success. Frames are
+// striped across the encoder lanes (each frame is an independent FFV1
+// keyframe), encoded concurrently, and muxed in pts order.
 int svx_writer_write(void* h, const uint8_t* bgr, int n) {
   auto* w = static_cast<Writer*>(h);
   const size_t frame_bytes = static_cast<size_t>(w->height) * w->width * 3;
-  for (int i = 0; i < n; ++i) {
-    const uint8_t* src = bgr + static_cast<size_t>(i) * frame_bytes;
-    const int src_stride = w->width * 3;
-    const uint8_t* src_planes[1] = {src};
-    const int src_strides[1] = {src_stride};
-    av_frame_make_writable(w->frame);
-    sws_scale(w->sws, src_planes, src_strides, 0, w->height, w->frame->data,
-              w->frame->linesize);
-    w->frame->pts = w->pts++;
-    if (avcodec_send_frame(w->enc, w->frame) < 0) {
+  const int nlanes = static_cast<int>(w->lanes.size());
+  const int64_t base_pts = w->pts;
+
+  auto run_lane = [&](int li) {
+    EncLane* l = &w->lanes[static_cast<size_t>(li)];
+    for (int i = li; i < n; i += nlanes) {
+      if (!lane_encode(l, bgr + static_cast<size_t>(i) * frame_bytes,
+                       w->width, w->height, base_pts + i)) {
+        l->failed = true;
+        return;
+      }
+    }
+  };
+
+  if (nlanes == 1 || n == 1) {
+    run_lane(0);
+  } else {
+    std::vector<std::thread> threads;
+    const int active = std::min(nlanes, n);
+    threads.reserve(static_cast<size_t>(active));
+    for (int li = 0; li < active; ++li) threads.emplace_back(run_lane, li);
+    for (auto& t : threads) t.join();
+  }
+  w->pts += n;
+  for (auto& l : w->lanes) {
+    if (l.failed) {
       set_err("encode send failed");
       return -1;
     }
-    if (send_to_sink(w) < 0) {
-      set_err("mux write failed");
-      return -1;
-    }
+  }
+  if (mux_collected(w) < 0) {
+    set_err("mux write failed");
+    return -1;
   }
   return 0;
 }
@@ -296,13 +412,13 @@ int svx_writer_write(void* h, const uint8_t* bgr, int n) {
 int svx_writer_close(void* h) {
   auto* w = static_cast<Writer*>(h);
   int rc = 0;
-  avcodec_send_frame(w->enc, nullptr);  // flush encoder
-  if (send_to_sink(w) < 0) rc = -1;
+  for (auto& l : w->lanes) {
+    if (!lane_flush(&l)) rc = -1;
+  }
+  if (mux_collected(w) < 0) rc = -1;
   if (av_write_trailer(w->fmt) < 0) rc = -1;
-  if (w->sws) sws_freeContext(w->sws);
-  av_frame_free(&w->frame);
-  av_packet_free(&w->pkt);
-  avcodec_free_context(&w->enc);
+  for (auto& l : w->lanes) free_lane(l);
+  w->lanes.clear();
   if (!(w->fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&w->fmt->pb);
   avformat_free_context(w->fmt);
   delete w;

@@ -52,6 +52,11 @@ def _load():
         lib.svx_writer_open.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ]
+        lib.svx_writer_open2.restype = ctypes.c_void_p
+        lib.svx_writer_open2.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_int,
+        ]
         lib.svx_writer_write.restype = ctypes.c_int
         lib.svx_writer_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         lib.svx_writer_close.restype = ctypes.c_int
@@ -121,15 +126,24 @@ class NativeVideoReader:
 
 
 class NativeVideoWriter:
-    """FFmpeg-native FFV1-in-.avi lossless writer (slice-threaded encode)."""
+    """FFmpeg-native FFV1-in-.avi lossless writer.
 
-    def __init__(self, path: str | Path, width: int, height: int, fps: float):
+    Frame-parallel: `workers` identical FFV1 encoder lanes encode a batch's
+    frames concurrently (every frame is an independent keyframe at
+    gop_size=1) and the packets mux in pts order. workers=0 auto-sizes to
+    the host's cores (capped at 8); workers=1 falls back to one
+    slice-threaded encoder.
+    """
+
+    def __init__(self, path: str | Path, width: int, height: int, fps: float,
+                 workers: int = 0):
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native video lib unavailable: {_build_error}")
         self._lib = lib
         Path(path).parent.mkdir(parents=True, exist_ok=True)
-        self._h = lib.svx_writer_open(str(path).encode(), width, height, float(fps))
+        self._h = lib.svx_writer_open2(str(path).encode(), width, height,
+                                       float(fps), int(workers))
         if not self._h:
             raise IOError(lib.svx_last_error().decode())
         self.width, self.height = width, height

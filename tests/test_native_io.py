@@ -81,3 +81,36 @@ def test_native_batched_reads(rng, tmp_path):
 def test_native_open_missing_file():
     with pytest.raises(IOError):
         videoio.NativeVideoReader("/nonexistent/file.avi")
+
+
+@pytest.mark.parametrize("workers", [1, 3, 4])
+def test_parallel_encoder_pool_lossless(rng, tmp_path, workers):
+    """Frame-striped FFV1 encoder lanes: packets mux in pts order and the
+    result decodes pixel-identically across uneven write() batches."""
+    frames = _frames(rng, n=13)
+    path = str(tmp_path / f"pool{workers}.avi")
+    with videoio.NativeVideoWriter(path, 96, 64, 24.0, workers=workers) as w:
+        w.write(frames[:5])
+        w.write(frames[5:6])
+        w.write(frames[6:])
+    with videoio.NativeVideoReader(path) as r:
+        got = r.read_batch(16, 64, 96)
+    np.testing.assert_array_equal(got, frames)
+
+
+def test_parallel_encoder_pool_cv2_decodable(rng, tmp_path):
+    """The pooled output must stay consumable by cv2 — the reference's
+    extractor reads stego videos through cv2.VideoCapture."""
+    frames = _frames(rng, n=9)
+    path = str(tmp_path / "pool_cv2.avi")
+    with videoio.NativeVideoWriter(path, 96, 64, 24.0, workers=3) as w:
+        w.write(frames)
+    cap = cv2.VideoCapture(path)
+    got = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        got.append(f)
+    cap.release()
+    np.testing.assert_array_equal(np.stack(got), frames)
