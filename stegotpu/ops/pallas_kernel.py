@@ -279,11 +279,20 @@ def _embed_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref, bh_i_ref,
     stego_ref[0] = _f32_to_u8(jnp.clip(x + xd, 0.0, 255.0))
 
 
+def _extract_bits(y, delta):
+    """round(c/delta) mod 2; delta <= 0 reads all-zero bits, explicitly
+    (reference config_and_setup.py:143-145 — a zero divide would be an
+    implementation-defined NaN->uint8 cast)."""
+    safe = jnp.where(delta > 0, delta, 1.0)
+    bits = jnp.where(delta > 0, jnp.mod(jnp.round(y / safe), 2.0), 0.0)
+    return _f32_to_u8(bits)
+
+
 def _extract_kernel(frames_ref, pvr_ref, bh_f_ref, delta_ref, bits_ref, *, w):
     delta = delta_ref[0]
     x = _u8_to_f32(frames_ref[0])           # block is (1, stripe, w)
     y = _dct2_compact(x, pvr_ref[:], bh_f_ref[:], w)
-    bits_ref[0] = _f32_to_u8(jnp.mod(jnp.round(y / delta), 2.0))
+    bits_ref[0] = _extract_bits(y, delta)
 
 
 def _interpret_default() -> bool:
@@ -433,7 +442,7 @@ def _roundtrip_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
 
     # re-extract from the ACTUAL quantized pixels, still in VMEM
     y2 = _dct2_compact(_u8_to_f32(stego_u8), pvr_ref[:], bh_f_ref[:], w)
-    bits_ref[0] = _f32_to_u8(jnp.mod(jnp.round(y2 / delta), 2.0))
+    bits_ref[0] = _extract_bits(y2, delta)
 
 
 def embed_and_extract_frames_pallas(frames, payload_bits, total_bits, delta,

@@ -149,8 +149,12 @@ def extract_frames(
     k = jnp.asarray(kron_dct_matrix(block))
     y = jnp.einsum("bnc,kc->bnk", xb, k, preferred_element_type=jnp.float32)
     ac = _ac_slice(y, num_ac)
-    q = jnp.round(ac / delta)
-    bits = jnp.mod(q, 2.0).astype(jnp.uint8)
+    # delta <= 0 degenerate path: all-zero bits, explicitly (the reference
+    # appends '0' per slot, config_and_setup.py:143-145; dividing by zero
+    # would be an implementation-defined NaN->uint8 cast)
+    safe = jnp.where(delta > 0, delta, 1.0)
+    q = jnp.round(ac / safe)
+    bits = jnp.where(delta > 0, jnp.mod(q, 2.0), 0.0).astype(jnp.uint8)
     return bits.reshape(b, -1)
 
 

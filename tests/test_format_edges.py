@@ -107,3 +107,18 @@ def test_one_pixel_secret_end_to_end(keys, tmp_path):
     assert ext.success
     np.testing.assert_array_equal(ext.pixels,
                                   load_image_gray(tmp_path / "s.png"))
+
+
+def test_delta_zero_extract_reads_all_zero_bits(rng):
+    """Reference parity: delta <= 0 appends '0' per slot during extraction
+    (config_and_setup.py:143-145); must be explicit, not a NaN cast."""
+    import jax.numpy as jnp
+
+    from stegotpu.ops.pallas_kernel import extract_frames_pallas
+    from stegotpu.ops.qim import extract_frames
+
+    frames = jnp.asarray(rng.integers(0, 256, (2, 16, 128), dtype=np.uint8))
+    for fn in (extract_frames, extract_frames_pallas):
+        out = np.asarray(fn(frames, jnp.float32(0.0), 10))
+        assert out.shape == (2, 2 * 16 * 10)
+        np.testing.assert_array_equal(out, 0)
