@@ -126,6 +126,49 @@ def cmd_embed_data(args) -> int:
     return 0
 
 
+def cmd_embed_batch(args) -> int:
+    """Embed one secret into MANY covers in a single warm process.
+
+    jit compiles once per cover resolution and is reused across files —
+    the production fan-out shape (the per-process compile cost amortizes
+    over the whole batch instead of being paid per invocation).
+    """
+    import time
+
+    from stegotpu.pipeline import embed_image_in_video
+
+    pub = crypto.serialize_public_compressed(crypto.load_public_pem(args.public_key))
+    cfg = _config_from_args(args)
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    failures = 0
+    t0 = time.perf_counter()
+    frames_total = 0
+    for cover in args.covers:
+        out = out_dir / (Path(cover).stem + ".avi")
+        try:
+            res = embed_image_in_video(cover, args.secret, out, pub, cfg,
+                                       batch_frames=args.batch)
+        except (OSError, ValueError) as e:
+            print(f"{cover}: FAILED ({e})", file=sys.stderr)
+            failures += 1
+            continue
+        if not res.success:
+            print(f"{cover}: FAILED ({res.bits_embedded}/"
+                  f"{res.total_payload_bits} bits before video ended)",
+                  file=sys.stderr)
+            failures += 1
+            continue
+        frames_total += res.frames_used
+        print(f"{cover}: -> {res.output_path} ({res.total_payload_bits} bits, "
+              f"{res.frames_used} frames)")
+    dt = time.perf_counter() - t0
+    n_ok = len(args.covers) - failures
+    print(f"batch done: {n_ok}/{len(args.covers)} covers embedded, "
+          f"{frames_total} frames in {dt:.2f}s")
+    return 1 if failures else 0
+
+
 def cmd_evaluate(args) -> int:
     from stegotpu.evaluation import (
         compare_videos,
@@ -353,6 +396,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print decode/device/encode stage timing to stderr")
     _add_qim_flags(e)
     e.set_defaults(fn=cmd_embed)
+
+    eb = sub.add_parser("embed-batch",
+                        help="embed one secret into many covers (warm jit)")
+    eb.add_argument("secret", help="secret image path")
+    eb.add_argument("covers", nargs="+", help="cover video paths")
+    eb.add_argument("--out-dir", required=True,
+                    help="output directory (stego named <cover-stem>.avi)")
+    eb.add_argument("--public-key", default="bob_public_key.pem")
+    eb.add_argument("--batch", type=int, default=8)
+    _add_qim_flags(eb)
+    eb.set_defaults(fn=cmd_embed_batch)
 
     ed = sub.add_parser("embed-data",
                         help="embed an arbitrary file's bytes (extension mode)")

@@ -56,3 +56,37 @@ def test_cli_extract_wrong_params_fails(tmp_path, monkeypatch, capsys):
     capsys.readouterr()
     assert main(["extract", "stego.avi", "x.png", "--delta", "19"]) == 1
     assert "FAILED" in capsys.readouterr().err
+
+
+def test_cli_embed_batch_many_covers(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    assert main(["genkey"]) == 0
+    from stegotpu import fixtures
+
+    fixtures.make_secret_image("secret.png", 16, 16, kind="pattern")
+    for i in range(3):
+        fixtures.make_cover_video(f"cover{i}.mp4", 320, 240, frames=4,
+                                  kind="moving", seed=i)
+
+    assert main([
+        "embed-batch", "secret.png", "cover0.mp4", "cover1.mp4", "cover2.mp4",
+        "--out-dir", "out", "--batch", "4",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "batch done: 3/3" in out
+    from stegotpu.crypto import load_private_pem
+    from stegotpu.pipeline import extract_image_from_video
+    from stegotpu.config import StegoConfig
+
+    priv = load_private_pem("bob_private_key.pem")
+    for i in range(3):
+        res = extract_image_from_video(f"out/cover{i}.avi", priv, StegoConfig())
+        assert res.success and res.hash_ok
+        np.testing.assert_array_equal(res.pixels, load_image_gray("secret.png"))
+
+    # one bad cover -> exit 1, good ones still produced
+    assert main([
+        "embed-batch", "secret.png", "cover0.mp4", "missing.mp4",
+        "--out-dir", "out2",
+    ]) == 1
+    assert "batch done: 1/2" in capsys.readouterr().out
