@@ -307,20 +307,40 @@ def cmd_inspect(args) -> int:
 
 
 def cmd_steganalyze(args) -> int:
-    """Detect QIM embedding in a video and estimate delta (no keys needed)."""
-    from stegotpu.steganalysis import analyze_video
+    """Detect QIM embedding in a video and estimate its out-of-band
+    parameters (delta AND num_ac), no keys needed."""
+    from stegotpu.ops.color import bgr_to_gray_np
+    from stegotpu.steganalysis import analyze_frames, estimate_num_ac
+    from stegotpu.video import VideoReader
 
-    rep = analyze_video(args.video, num_ac=args.coeffs,
-                        max_frames=args.max_frames)
+    import numpy as np
+
+    frames = []
+    with VideoReader(args.video) as reader:
+        for _ in range(args.max_frames):
+            f = reader.read_frame()
+            if f is None:
+                break
+            frames.append(bgr_to_gray_np(f))
+    if not frames:
+        print(f"error: no frames readable from '{args.video}'", file=sys.stderr)
+        return 1
+    gray = np.stack(frames)
+    rep = analyze_frames(gray, num_ac=args.coeffs)
     print(f"verdict: {rep.verdict} "
           f"(detection ratio {rep.detection_ratio:.1f}x over background)")
     if rep.detected:
+        n_est = estimate_num_ac(gray, rep.best_delta)
         print(f"estimated delta: {rep.best_delta} "
               f"(lattice score {rep.best_score:.3f} vs background "
               f"{rep.background:.3f})")
+        print(f"estimated num_ac_coeffs: {n_est} "
+              "(slots 1..N saturate the lattice)")
         print("note: QIM lattice structure is inherently detectable — "
               "confidentiality rests on the AES-GCM/ECDH layer, not on "
-              "the embedding's invisibility")
+              "the embedding's invisibility. With these two recovered "
+              "parameters, `stegotpu inspect` reads the public header "
+              "fields without any key material.")
     return 0
 
 

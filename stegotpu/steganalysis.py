@@ -66,6 +66,47 @@ def lattice_scores(
     return jax.vmap(score)(deltas)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _per_slot_scores(frames: jnp.ndarray, delta: jnp.ndarray,
+                     eps: float = 0.08) -> jnp.ndarray:
+    """Lattice score per flat in-block coefficient index (64,) at one delta.
+
+    QIM snaps exactly the slots c = 1..N, so at the true delta the scores
+    saturate for c <= N and fall to background beyond — which recovers N.
+    """
+    xb = blockify(frames.astype(jnp.float32))
+    k64 = jnp.asarray(kron_dct_matrix())
+    y = jnp.einsum("bnc,kc->bnk", xb, k64, preferred_element_type=jnp.float32)
+    q = jnp.round(y / delta)
+    dist = jnp.abs(y - q * delta) / delta
+    informative = jnp.abs(y) > (0.75 * delta)
+    frac = jnp.sum(jnp.where(informative & (dist < eps), 1.0, 0.0), axis=1)
+    denom = jnp.maximum(jnp.sum(informative.astype(jnp.float32), axis=1), 1.0)
+    return frac / denom  # (B, 64): per frame, payload frames saturate
+
+
+def estimate_num_ac(frames_gray: np.ndarray, delta: float,
+                    score_floor: float = 0.85) -> int:
+    """Recover the out-of-band num_ac parameter from lattice structure.
+
+    Returns the largest N such that ALL slots 1..N saturate the lattice at
+    `delta` on the best (payload-carrying) frame — 0 if none do. Together
+    with the recovered delta this gives a warden everything
+    `stegotpu inspect` needs: the scheme hides content (AES-GCM), not
+    parameters.
+    """
+    per_frame = np.asarray(_per_slot_scores(jnp.asarray(frames_gray),
+                                            jnp.float32(delta)))  # (B, 64)
+    scores = per_frame.max(axis=0)
+    n = 0
+    for c in range(1, scores.shape[0]):
+        if scores[c] > score_floor:
+            n = c
+        else:
+            break
+    return n
+
+
 @dataclasses.dataclass
 class SteganalysisReport:
     deltas: np.ndarray          # candidate grid

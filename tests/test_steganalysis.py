@@ -43,3 +43,35 @@ def test_analyze_frames_direct(rng):
     rep = analyze_frames(frames)
     assert rep.scores.shape == rep.deltas.shape
     assert not rep.detected
+
+
+@pytest.mark.parametrize("n_true", [3, 10])
+def test_estimate_num_ac_recovers_parameter(tmp_path, n_true):
+    """Keyless parameter recovery: slots 1..N saturate the lattice, slot N+1
+    does not — the out-of-band num_ac is readable from the stego itself."""
+    from stegotpu.ops.color import bgr_to_gray_np
+    from stegotpu.steganalysis import estimate_num_ac
+    from stegotpu.video import VideoReader
+
+    fixtures.make_secret_image(tmp_path / "s.png", 40, 40, kind="noise", seed=2)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 320, 240, frames=8,
+                              kind="noise", seed=3)
+    _, pub_c = crypto.setup_receiver_keys(tmp_path / "k.pem", tmp_path / "p.pem")
+    res = embed_image_in_video(
+        tmp_path / "c.mp4", tmp_path / "s.png", tmp_path / "st", pub_c,
+        StegoConfig(delta=20, num_ac_coeffs=n_true),
+    )
+    assert res.success
+    with VideoReader(res.output_path) as r:
+        frames = np.stack([bgr_to_gray_np(r.read_frame()) for _ in range(2)])
+    assert estimate_num_ac(frames, 20.0) == n_true
+    # a clean frame estimates 0 at any delta
+    clean = np.stack([bgr_to_gray_np(f) for f in _first_frames(tmp_path / "c.mp4", 2)])
+    assert estimate_num_ac(clean, 20.0) == 0
+
+
+def _first_frames(path, n):
+    from stegotpu.video import VideoReader
+
+    with VideoReader(path) as r:
+        return [r.read_frame() for _ in range(n)]
