@@ -236,11 +236,10 @@ int svx_reader_read_batch(void* h, uint8_t* out, int batch, int crop_h,
       continue;
     }
     if (r->pkt->stream_index == r->stream_idx) {
-      if (avcodec_send_packet(r->dec, r->pkt) < 0) {
-        set_err("send packet failed");
-        av_packet_unref(r->pkt);
-        return -1;
-      }
+      // a corrupt/truncated packet (cut-off file) is not fatal: skip it and
+      // keep demuxing — the demuxer's own EOF ends the stream, and the
+      // caller sees a short read instead of a hard error
+      avcodec_send_packet(r->dec, r->pkt);
     }
     av_packet_unref(r->pkt);
   }

@@ -317,26 +317,30 @@ def extract_image_from_video(
                 parse_error = str(e)
                 return True
 
-        with Prefetcher(reader.batches(batch_frames)) as prefetched:
-            for batch_bgr in _timed_iter(prefetched, timer, "decode_wait"):
-                n = batch_bgr.shape[0]
-                with _stage(timer, "gray_convert"):
-                    gray = bgr_to_gray_np(batch_bgr)
-                if n < batch_frames:
-                    gray = np.concatenate(
-                        [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
-                    )
-                with _stage(timer, "device_dispatch"):
-                    dev = extract_fn(config.kernel, h8, w8)(
-                        jnp.asarray(gray), delta, config.num_ac_coeffs
-                    )
-                done = pending is not None and ingest(pending)
-                pending = (n, dev)
-                if done:
-                    pending = None
-                    break
-            if pending is not None:
-                ingest(pending)
+        try:
+            with Prefetcher(reader.batches(batch_frames)) as prefetched:
+                for batch_bgr in _timed_iter(prefetched, timer, "decode_wait"):
+                    n = batch_bgr.shape[0]
+                    with _stage(timer, "gray_convert"):
+                        gray = bgr_to_gray_np(batch_bgr)
+                    if n < batch_frames:
+                        gray = np.concatenate(
+                            [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
+                        )
+                    with _stage(timer, "device_dispatch"):
+                        dev = extract_fn(config.kernel, h8, w8)(
+                            jnp.asarray(gray), delta, config.num_ac_coeffs
+                        )
+                    done = pending is not None and ingest(pending)
+                    pending = (n, dev)
+                    if done:
+                        pending = None
+                        break
+                if pending is not None:
+                    ingest(pending)
+        except OSError as e:
+            # corrupt/truncated container mid-stream: structured failure
+            return ExtractResult(False, error=f"video read failed: {e}")
         if parse_error is not None:
             return ExtractResult(False, error=parse_error)
         if parts is None:

@@ -70,3 +70,29 @@ def test_writer_gray_batch_roundtrip(rng, tmp_path):
         got = np.concatenate(list(r.batches(4)))
     # replicated channels survive FFV1 exactly; gray recovers exactly
     np.testing.assert_array_equal(bgr_to_gray_np(got), gray)
+
+
+def test_extract_from_truncated_stego_fails_closed(tmp_path):
+    """A stego file cut off mid-stream must yield a structured error from
+    extraction (and never hang the reader loop)."""
+    from stegotpu import crypto, fixtures
+    from stegotpu.config import StegoConfig
+    from stegotpu.pipeline import embed_image_in_video, extract_image_from_video
+
+    fixtures.make_secret_image(tmp_path / "s.png", 48, 48, kind="noise", seed=1)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 96, 64, frames=40,
+                              kind="moving")
+    priv, pub_c = crypto.setup_receiver_keys(tmp_path / "k.pem",
+                                             tmp_path / "p.pem")
+    cfg = StegoConfig()
+    res = embed_image_in_video(tmp_path / "c.mp4", tmp_path / "s.png",
+                               tmp_path / "stego", pub_c, cfg)
+    assert res.success and res.frames_used > 4
+
+    data = (tmp_path / "stego.avi").read_bytes()
+    for frac in (0.5, 0.15):
+        cut = tmp_path / f"cut{int(frac*100)}.avi"
+        cut.write_bytes(data[: int(len(data) * frac)])
+        out = extract_image_from_video(cut, priv, cfg)
+        assert not out.success
+        assert out.error
