@@ -42,9 +42,11 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    # batch sweep on v5e: 16->3.5k fps, 32->5.5k, 64->6.0k, 128->8.8k,
-    # 256 plateaus — the kernel grid is dispatch/overhead-amortized at 128
-    b, h, w, n_ac, delta = 128, 1080, 1920, 10, 20.0
+    # round-2 batch sweep on v5e (fused kernel, honest chain): 128->14.5k,
+    # 256->15.9k, 384->16.7k, 512->17.0k, 1024->17.6k fps — amortization
+    # keeps paying past 128; 512 is the practical throughput point (2 GB of
+    # frame+stego HBM residency per in-flight batch)
+    b, h, w, n_ac, delta = 512, 1080, 1920, 10, 20.0
     k_chain = 10
     cap = (h // 8) * (w // 8) * n_ac
     rng = np.random.default_rng(0)

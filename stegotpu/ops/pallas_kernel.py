@@ -107,8 +107,15 @@ def pick_stripe(h: int) -> int:
     raise ValueError(f"height {h} is not a multiple of 8")
 
 
+# grid dims: frames are independent ('parallel'); stripes within a frame are
+# too, but Mosaic only allows the last dim to be 'arbitrary' — measured +3.4%
+# on the fused roundtrip vs unspecified (benchmarks/fused_variants.py)
+_DIMSEM = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
+
+
 def _u8_to_f32(x):
-    """Mosaic lacks a direct u8->f32 cast; hop through int32."""
+    """Mosaic lacks a direct u8->f32 cast (fails to lower, re-checked round
+    2); hop through int32."""
     return x.astype(jnp.int32).astype(jnp.float32)
 
 
@@ -341,6 +348,7 @@ def _embed_frames_pallas(
         functools.partial(_embed_kernel, stripe=stripe, w=w, num_ac=num_ac,
                           cap=cap, rn=rn, rp=rp),
         grid=grid,
+        compiler_params=_DIMSEM,
         in_specs=[
             pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -401,6 +409,7 @@ def _extract_frames_pallas_rows(
     bits_rows = pl.pallas_call(
         functools.partial(_extract_kernel, w=w),
         grid=grid,
+        compiler_params=_DIMSEM,
         in_specs=[
             pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -503,6 +512,7 @@ def _embed_and_extract_frames_pallas(
         functools.partial(_roundtrip_kernel, stripe=stripe, w=w,
                           num_ac=num_ac, cap=cap, rn=rn, rp=rp),
         grid=grid,
+        compiler_params=_DIMSEM,
         in_specs=[tile_spec, rows_spec, mat_spec, mat_spec, mat_spec,
                   mat_spec, smem_spec, smem_spec],
         out_specs=(tile_spec, rows_spec),
