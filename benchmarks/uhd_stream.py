@@ -17,7 +17,9 @@ import time
 import numpy as np
 
 
-def main(b=16, h=2160, w=3840, n_ac=10, k_chain=10):
+def main(b=128, h=2160, w=3840, n_ac=10, k_chain=10):
+    # batch sweep (honest chain, v5e): 16->905, 64->3134, 128->4502 fps;
+    # 256 stalls (frame+stego+bits HBM residency through the relay)
     import jax
     import jax.numpy as jnp
 
@@ -49,10 +51,11 @@ def main(b=16, h=2160, w=3840, n_ac=10, k_chain=10):
     @jax.jit
     def chained(f, p):
         def body(_, carry):
-            s, e, _, _ = evaluated_step(carry, p)
-            return s ^ (e[:, :1, None] & 0)
-        out = jax.lax.fori_loop(0, k_chain, body, f)
-        return jnp.sum(out, dtype=jnp.int32)
+            fr, pl_ = carry
+            s, e, _, _ = evaluated_step(fr, pl_)
+            return s, e  # extracted bits feed the next payload: no dead code
+        out, bits = jax.lax.fori_loop(0, k_chain, body, (f, p))
+        return jnp.sum(out, dtype=jnp.int32) + jnp.sum(bits, dtype=jnp.int32)
 
     _ = float(chained(frames, payload))
     t0 = time.perf_counter()
