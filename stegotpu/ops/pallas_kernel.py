@@ -4,16 +4,17 @@ The XLA baseline (ops/qim.py) materializes float32 intermediates (blockified
 frames, coefficients, modified coefficients) in HBM between fusion islands.
 This kernel keeps the whole per-stripe dataflow in VMEM:
 
-    uint8 stripe -> f32 -> vertical DCT -> horizontal DCT -> QIM ->
-    inverse DCTs -> clip -> truncating uint8 cast
+    uint8 stripe -> f32 -> reduced vertical DCT -> compact horizontal DCT ->
+    QIM sparse delta -> sparse inverse -> add to pixels -> clip -> cast
 
 The transforms run on the MXU:
 
-- vertical: P = I_{S/8} (x) M, an (S, S) block-diagonal operator applied to
-  the (S, W) stripe in ONE matmul (S = stripe rows, 120 by default ->
-  contraction depth 120, near the 128 MXU sweet spot);
+- vertical (reduced): a (rows_pad, S) block-structured operator producing
+  only the slot-bearing coefficient rows of each 8-row block in ONE matmul
+  (S = stripe rows, 120 by default -> contraction depth 120, near the 128
+  MXU sweet spot);
 - horizontal: B = I_16 (x) M^T, a (128, 128) block-diagonal operator applied
-  via the lane-fold reshape (S, W) -> (S*W/128, 128) in one fat matmul.
+  via the lane-fold reshape (S', W) -> (S'*W/128, 128) in one fat matmul.
 
 Round-2 dataflow — compact rows + sparse-delta embed. Round 1 fed the QIM
 stage a full (B, H, W) uint8 "state plane" built by XLA (40% of embed cost)
@@ -39,8 +40,8 @@ computes only what QIM actually touches:
 - payload bits arrive in the same compact layout ((B, (H/S)*rows_pad, W)
   uint8, payload_to_rows()) so QIM needs no scatter at all; extract writes
   its bits in that layout and rows_to_bits() unpacks to the (B, C) wire
-  order. Both layout passes move their bytes as u64 lanes (8 payload bytes
-  per element) — an 8x narrower XLA transpose.
+  order (XLA-side strided slices + concat; see docs/TUNING.md for the
+  rejected faster-looking alternatives).
 
 Semantics match ops/qim.py (same quantizer, directional parity, lattice
 snap, per-slot validity, whole-block passthrough); extracted bits are
@@ -260,11 +261,14 @@ def _qim_valid_compact(total, offset, *, stripe, w, num_ac, cap, rn, rp):
 
 def _qim_sparse_delta(ys, bits, valid, delta):
     """Directional-parity QIM + lattice snap as a sparse coefficient delta:
-    snapped - original on valid slots, exactly 0 elsewhere (SURVEY.md §2.4)."""
-    q = jnp.round(ys / delta)
+    snapped - original on valid slots, exactly 0 elsewhere (SURVEY.md §2.4).
+    delta <= 0 embeds nothing (reference config_and_setup.py:143-145) — the
+    guard also keeps inf/NaN out of the pixel path."""
+    safe = jnp.where(delta > 0, delta, 1.0)
+    q = jnp.round(ys / safe)
     parity = jnp.mod(q, 2.0)
     adjust = jnp.where(parity != bits, jnp.where(bits == 1.0, 1.0, -1.0), 0.0)
-    return jnp.where(valid, (q + adjust) * delta - ys, 0.0)
+    return jnp.where(valid & (delta > 0), (q + adjust) * safe - ys, 0.0)
 
 
 def _embed_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref, bh_i_ref,
