@@ -1,0 +1,79 @@
+"""num_ac sweep across the compact-layout rn boundaries.
+
+The round-2 pallas kernels pack payload slots into rn = num_ac//8 + 1 rows
+per block; the layout math has edges at every multiple of 8 (rn=1 covers
+c=1..7 on row 0; N=8 adds exactly one slot on row 1; N=63 degenerates to
+the full stripe). Each N is checked pallas-vs-xla bit-identical and
+round-trips, including a mid-block payload stop, plus sharded execution at
+an rn boundary.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stegotpu.ops.pallas_kernel import (
+    embed_and_extract_frames_pallas_fused,
+    embed_frames_pallas,
+    extract_frames_pallas,
+    rows_per_block,
+)
+from stegotpu.ops.qim import embed_frames, extract_frames
+
+DELTA = 20
+
+
+@pytest.mark.parametrize("n_ac", [1, 7, 8, 9, 15, 16, 63])
+def test_pallas_matches_xla_across_rn_boundaries(rng, n_ac):
+    b, h, w = 2, 48, 128
+    cap = (h // 8) * (w // 8) * n_ac
+    total = 2 * cap - (n_ac // 2 + 1)  # mid-block stop in the last block
+    payload = np.zeros(b * cap, np.uint8)
+    payload[:total] = rng.integers(0, 2, total)
+    payload = payload.reshape(b, cap)
+    frames = rng.integers(32, 224, (b, h, w), dtype=np.uint8)
+    args = (jnp.asarray(frames), jnp.asarray(payload), jnp.int32(total),
+            jnp.float32(DELTA), n_ac)
+
+    stego_x, bpf_x = embed_frames(*args)
+    stego_p, bpf_p = embed_frames_pallas(*args)
+    np.testing.assert_array_equal(np.asarray(bpf_x), np.asarray(bpf_p))
+
+    # bits from either stego, by either extractor, must all agree exactly
+    for stego in (stego_x, stego_p):
+        ex_x = np.asarray(extract_frames(stego, jnp.float32(DELTA), n_ac))
+        ex_p = np.asarray(extract_frames_pallas(stego, jnp.float32(DELTA), n_ac))
+        np.testing.assert_array_equal(ex_x, ex_p)
+        np.testing.assert_array_equal(
+            ex_p.reshape(-1)[:total], payload.reshape(-1)[:total])
+
+    # fused round trip too
+    _, bpf_f, ex_f = embed_and_extract_frames_pallas_fused(*args)
+    np.testing.assert_array_equal(np.asarray(bpf_f), np.asarray(bpf_x))
+    np.testing.assert_array_equal(
+        np.asarray(ex_f).reshape(-1)[:total], payload.reshape(-1)[:total])
+
+
+@pytest.mark.parametrize("n_ac", [7, 8])
+def test_sharded_roundtrip_at_rn_boundary(rng, n_ac):
+    """dp x sp sharded step at the rn=1/rn=2 boundary, pallas per-shard."""
+    import jax
+
+    from stegotpu.parallel.mesh import make_mesh, sharded_roundtrip_step
+
+    assert rows_per_block(7) == 1 and rows_per_block(8) == 2
+    mesh = make_mesh(2, 2, jax.devices()[:4])
+    b, h, w = 4, 32, 128
+    cap = (h // 8) * (w // 8) * n_ac
+    total = b * cap - 3
+    payload = np.zeros(b * cap, np.uint8)
+    payload[:total] = rng.integers(0, 2, total)
+    frames = rng.integers(32, 224, (b, h, w), dtype=np.uint8)
+
+    step = sharded_roundtrip_step(mesh, n_ac, kernel="pallas")
+    _, bpf, _, errors = step(
+        jnp.asarray(frames), jnp.asarray(payload.reshape(b, cap)),
+        jnp.int32(total), jnp.float32(DELTA),
+    )
+    assert int(errors) == 0
+    assert int(np.asarray(bpf).sum()) == total
