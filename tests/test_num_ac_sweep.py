@@ -39,11 +39,17 @@ def test_pallas_matches_xla_across_rn_boundaries(rng, n_ac):
     stego_p, bpf_p = embed_frames_pallas(*args)
     np.testing.assert_array_equal(np.asarray(bpf_x), np.asarray(bpf_p))
 
-    # bits from either stego, by either extractor, must all agree exactly
+    # payload-carrying slots must round-trip exactly from either stego via
+    # either extractor; slots past the payload end hold NATURAL coefficients
+    # (never lattice-snapped) whose parity may legitimately differ between
+    # the MXU and XLA float paths when they sit near a rounding boundary —
+    # the header-driven parser discards them (reference
+    # extract_process.py:89-188), so they are excluded here
     for stego in (stego_x, stego_p):
         ex_x = np.asarray(extract_frames(stego, jnp.float32(DELTA), n_ac))
         ex_p = np.asarray(extract_frames_pallas(stego, jnp.float32(DELTA), n_ac))
-        np.testing.assert_array_equal(ex_x, ex_p)
+        np.testing.assert_array_equal(
+            ex_x.reshape(-1)[:total], ex_p.reshape(-1)[:total])
         np.testing.assert_array_equal(
             ex_p.reshape(-1)[:total], payload.reshape(-1)[:total])
 
@@ -61,6 +67,8 @@ def test_sharded_roundtrip_at_rn_boundary(rng, n_ac):
 
     from stegotpu.parallel.mesh import make_mesh, sharded_roundtrip_step
 
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices (virtual CPU mesh)")
     assert rows_per_block(7) == 1 and rows_per_block(8) == 2
     mesh = make_mesh(2, 2, jax.devices()[:4])
     b, h, w = 4, 32, 128
