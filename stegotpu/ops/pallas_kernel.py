@@ -19,9 +19,9 @@ The transforms run on the MXU:
 Round-2 dataflow — compact rows + sparse-delta embed. Round 1 fed the QIM
 stage a full (B, H, W) uint8 "state plane" built by XLA (40% of embed cost)
 and transformed every coefficient of every block both ways; extract wrote a
-full (H, W) bits image of which 84% was discarded. Profiling showed the
-kernels are MXU-cycle-bound on those block-diagonal matmuls, so round 2
-computes only what QIM actually touches:
+full (H, W) bits image of which 84% was discarded. Round 2 computes only
+what QIM actually touches (and with the compute cut, the kernels now sit
+near the chip's u8-HBM-streaming ceiling — docs/TUNING.md):
 
 - payload slots (flat c = 1..num_ac) live in the first rn = num_ac//8 + 1
   pixel rows of each block. The REDUCED vertical operator (rows_pad, S)
