@@ -141,6 +141,13 @@ def cmd_embed_batch(args) -> int:
     cfg = _config_from_args(args)
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    stems = [Path(c).stem for c in args.covers]
+    dupes = {s for s in stems if stems.count(s) > 1}
+    if dupes:
+        print("error: covers with the same filename would overwrite each "
+              f"other's output: {sorted(dupes)} — rename or run separately",
+              file=sys.stderr)
+        return 1
     failures = 0
     t0 = time.perf_counter()
     frames_total = 0
@@ -309,23 +316,13 @@ def cmd_inspect(args) -> int:
 def cmd_steganalyze(args) -> int:
     """Detect QIM embedding in a video and estimate its out-of-band
     parameters (delta AND num_ac), no keys needed."""
-    from stegotpu.ops.color import bgr_to_gray_np
-    from stegotpu.steganalysis import analyze_frames, estimate_num_ac
-    from stegotpu.video import VideoReader
+    from stegotpu.steganalysis import (
+        analyze_frames,
+        estimate_num_ac,
+        read_gray_frames,
+    )
 
-    import numpy as np
-
-    frames = []
-    with VideoReader(args.video) as reader:
-        for _ in range(args.max_frames):
-            f = reader.read_frame()
-            if f is None:
-                break
-            frames.append(bgr_to_gray_np(f))
-    if not frames:
-        print(f"error: no frames readable from '{args.video}'", file=sys.stderr)
-        return 1
-    gray = np.stack(frames)
+    gray = read_gray_frames(args.video, args.max_frames)
     rep = analyze_frames(gray, num_ac=args.coeffs)
     print(f"verdict: {rep.verdict} "
           f"(detection ratio {rep.detection_ratio:.1f}x over background)")

@@ -85,8 +85,10 @@ bool lane_encode(EncLane* l, const uint8_t* src, int width, int height,
     int ret = avcodec_receive_packet(l->enc, l->pkt);
     if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return true;
     if (ret < 0) return false;
-    l->out.push_back(av_packet_clone(l->pkt));
+    AVPacket* c = av_packet_clone(l->pkt);
     av_packet_unref(l->pkt);
+    if (!c) return false;  // OOM: fail the lane, not a null deref in mux
+    l->out.push_back(c);
   }
 }
 
@@ -97,8 +99,10 @@ bool lane_flush(EncLane* l) {
     int ret = avcodec_receive_packet(l->enc, l->pkt);
     if (ret == AVERROR_EOF || ret == AVERROR(EAGAIN)) return true;
     if (ret < 0) return false;
-    l->out.push_back(av_packet_clone(l->pkt));
+    AVPacket* c = av_packet_clone(l->pkt);
     av_packet_unref(l->pkt);
+    if (!c) return false;
+    l->out.push_back(c);
   }
 }
 
@@ -330,9 +334,10 @@ void* svx_writer_open2(const char* path, int width, int height, double fps,
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   if (hw < 1) hw = 1;
   int n = workers > 0 ? workers : std::min(hw, 8);
-  // with one lane, give FFV1's slice threading all the cores; with a pool,
-  // one thread per lane (frame-level parallelism subsumes slice-level)
-  int per_lane = n == 1 ? hw : 1;
+  // split the cores between frame-level (lanes) and slice-level (threads
+  // per lane) parallelism so small write() batches — e.g. a run of 1-2
+  // payload frames — still use the machine
+  int per_lane = std::max(1, hw / n);
 
   w->stream = avformat_new_stream(w->fmt, nullptr);
   AVRational tb = av_d2q(1.0 / (fps > 0 ? fps : 24.0), 1 << 24);

@@ -19,6 +19,7 @@ thread double-buffering host I/O against device compute.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import logging
 from pathlib import Path
@@ -55,16 +56,8 @@ def _timed_iter(iterable, timer, name: str):
         yield item
 
 
-class _NullStage:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        return False
-
-
 def _stage(timer, name: str):
-    return timer.stage(name) if timer is not None else _NullStage()
+    return timer.stage(name) if timer is not None else contextlib.nullcontext()
 
 
 @dataclasses.dataclass
@@ -183,11 +176,19 @@ def _embed_payload(
                 first_orig = gray[0].copy()
                 first_stego = stego[0].copy()
             with _stage(timer, "encode"):
-                for i in range(n):
+                # write RUNS of same-kind frames in one call: the native
+                # FFV1 encoder pool parallelizes across the frames of a
+                # write() batch, so per-frame writes would serialize it
+                i = 0
+                while i < n:
+                    j = i + 1
+                    while j < n and (bpf[j] > 0) == (bpf[i] > 0):
+                        j += 1
                     if bpf[i] > 0:
-                        writer.write_gray_batch(stego[i : i + 1])
+                        writer.write_gray_batch(stego[i:j])
                     else:
-                        writer.write_bgr(batch_bgr[i])
+                        writer.write_bgr_batch(batch_bgr[i:j])
+                    i = j
 
         with VideoWriter(out_path, reader.info.fps, w8, h8, config.codec) as writer, \
                 Prefetcher(reader.batches(batch_frames)) as prefetched:

@@ -158,16 +158,14 @@ def analyze_frames(
     )
 
 
-def analyze_video(
-    path, num_ac: int = 10, max_frames: int = 4, **kw
-) -> SteganalysisReport:
-    """Steganalyze the first frames of a video file."""
+def read_gray_frames(path, max_frames: int = 4) -> np.ndarray:
+    """First frames of a video as a (B, H, W) uint8 gray stack (the shared
+    front half of analyze_video and the steganalyze CLI)."""
     from stegotpu.ops.color import bgr_to_gray_np
     from stegotpu.video import VideoReader
 
     frames = []
     with VideoReader(path) as reader:
-        h8, w8 = reader.info.cropped
         for _ in range(max_frames):
             f = reader.read_frame()
             if f is None:
@@ -175,4 +173,12 @@ def analyze_video(
             frames.append(bgr_to_gray_np(f))
     if not frames:
         raise IOError(f"no frames readable from '{path}'")
-    return analyze_frames(np.stack(frames), num_ac=num_ac, **kw)
+    return np.stack(frames)
+
+
+def analyze_video(
+    path, num_ac: int = 10, max_frames: int = 4, **kw
+) -> SteganalysisReport:
+    """Steganalyze the first frames of a video file."""
+    return analyze_frames(read_gray_frames(path, max_frames), num_ac=num_ac,
+                          **kw)

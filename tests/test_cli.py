@@ -90,3 +90,14 @@ def test_cli_embed_batch_many_covers(tmp_path, monkeypatch, capsys):
         "--out-dir", "out2",
     ]) == 1
     assert "batch done: 1/2" in capsys.readouterr().out
+
+    # same-stem covers would silently overwrite each other: refused up front
+    import shutil
+
+    (tmp_path / "d").mkdir()
+    shutil.copy("cover0.mp4", "d/cover0.mp4")
+    assert main([
+        "embed-batch", "secret.png", "cover0.mp4", "d/cover0.mp4",
+        "--out-dir", "out3",
+    ]) == 1
+    assert "overwrite" in capsys.readouterr().err
