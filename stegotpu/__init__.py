@@ -8,9 +8,10 @@ SHA3-256), wire-format compatible with the reference's payload layout
 compute path redesigned TPU-first:
 
 - the per-frame scalar DCT/QIM loop (reference: config_and_setup.py:106-174)
-  becomes a batched, fused device kernel: blockify -> 64x64 Kronecker DCT
-  matmul on the MXU -> vectorized directional-parity QIM -> inverse matmul ->
-  clip/cast, one HBM pass over a batch of frames (``stegotpu.ops``);
+  becomes a batched, fused device kernel (``stegotpu.ops``): on TPU, a
+  Pallas kernel that transforms only the payload-slot coefficient rows and
+  applies QIM as a sparse delta in one HBM pass; portably, a blockify ->
+  64x64 Kronecker DCT matmul formulation on the MXU;
 - frame-axis data parallelism scales over a ``jax.sharding.Mesh``
   (``stegotpu.parallel``);
 - crypto and payload framing stay host-side (``stegotpu.crypto``,
@@ -18,7 +19,7 @@ compute path redesigned TPU-first:
 - PSNR/SSIM/BER run as jitted on-device reductions (``stegotpu.metrics``).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from stegotpu.config import StegoConfig  # noqa: F401
 from stegotpu.pipeline import (  # noqa: F401
