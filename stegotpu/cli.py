@@ -393,6 +393,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-v", "--verbose", action="store_true",
                    help="debug-level logging")
+    from stegotpu import __version__
+
+    p.add_argument("--version", action="version",
+                   version=f"stegotpu {__version__}")
     sub = p.add_subparsers(dest="command", required=True)
 
     g = sub.add_parser("genkey", help="create a receiver ECC keypair (PEM)")
