@@ -23,7 +23,8 @@ from stegotpu.config import StegoConfig
 def _config_from_args(args) -> StegoConfig:
     return StegoConfig(delta=args.delta, num_ac_coeffs=args.coeffs,
                        kernel=getattr(args, "kernel", "auto"),
-                       verified_embed=getattr(args, "verified", False))
+                       verified_embed=getattr(args, "verified", False),
+                       codec=getattr(args, "codec", "FFV1"))
 
 
 def _add_qim_flags(p: argparse.ArgumentParser) -> None:
@@ -33,6 +34,14 @@ def _add_qim_flags(p: argparse.ArgumentParser) -> None:
                    help="AC coefficients per 8x8 block, 1..63 (default 10)")
     p.add_argument("--kernel", choices=["auto", "xla", "pallas"], default="auto",
                    help="device kernel variant (default auto)")
+
+
+def _add_codec_flag(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--codec", choices=["FFV1", "HFYU", "RGBA"], default="FFV1",
+                   help="lossless stego container codec: FFV1 (reference "
+                        "parity, default), HFYU (HuffYUV, ~5x faster encode), "
+                        "RGBA (raw, fastest, largest files); all are "
+                        "pixel-exact and extraction auto-detects")
 
 
 def cmd_genkey(args) -> int:
@@ -416,6 +425,7 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--timing", action="store_true",
                    help="print decode/device/encode stage timing to stderr")
     _add_qim_flags(e)
+    _add_codec_flag(e)
     e.set_defaults(fn=cmd_embed)
 
     eb = sub.add_parser("embed-batch",
@@ -427,6 +437,7 @@ def build_parser() -> argparse.ArgumentParser:
     eb.add_argument("--public-key", default="bob_public_key.pem")
     eb.add_argument("--batch", type=int, default=8)
     _add_qim_flags(eb)
+    _add_codec_flag(eb)
     eb.set_defaults(fn=cmd_embed_batch)
 
     ed = sub.add_parser("embed-data",
@@ -437,6 +448,7 @@ def build_parser() -> argparse.ArgumentParser:
     ed.add_argument("--public-key", default="bob_public_key.pem")
     ed.add_argument("--batch", type=int, default=8)
     _add_qim_flags(ed)
+    _add_codec_flag(ed)
     ed.set_defaults(fn=cmd_embed_data)
 
     x = sub.add_parser("extract", help="extract the secret (image or raw data)")

@@ -122,3 +122,21 @@ def test_delta_zero_extract_reads_all_zero_bits(rng):
         out = np.asarray(fn(frames, jnp.float32(0.0), 10))
         assert out.shape == (2, 2 * 16 * 10)
         np.testing.assert_array_equal(out, 0)
+
+
+@pytest.mark.parametrize("codec", ["HFYU", "RGBA"])
+def test_alternate_lossless_codecs_end_to_end(keys, tmp_path, codec):
+    """--codec HFYU/RGBA: faster lossless containers (FFV1 is ~0.2-0.45
+    core-seconds per 1080p frame, benchmarks/ffv1_host.py); the stego must
+    stay pixel-exact and extraction auto-detects the codec."""
+    priv, pub_c = keys
+    media = _media(tmp_path, 320, 240, 6)
+    cfg = StegoConfig(codec=codec)
+    res = embed_image_in_video(media / "cover.mp4", media / "secret.png",
+                               tmp_path / "stego", pub_c, cfg, batch_frames=3)
+    assert res.success
+    ext = extract_image_from_video(res.output_path, priv, StegoConfig(),
+                                   batch_frames=3)
+    assert ext.success and ext.hash_ok, ext.error
+    np.testing.assert_array_equal(
+        ext.pixels, load_image_gray(media / "secret.png"))
