@@ -285,25 +285,26 @@ void destroy_writer(Writer* w) {
   delete w;
 }
 
-bool open_lane(EncLane& l, const AVCodec* codec, int width, int height,
-               AVRational tb, int threads_per_lane) {
+bool open_lane(EncLane& l, const AVCodec* codec, AVPixelFormat pix,
+               int width, int height, AVRational tb, int threads_per_lane) {
   l.enc = avcodec_alloc_context3(codec);
   l.enc->width = width;
   l.enc->height = height;
-  // BGR0: FFV1's lossless packed-RGB format — BGR24 samples survive exactly.
-  l.enc->pix_fmt = AV_PIX_FMT_BGR0;
+  // packed-RGB lossless format for the codec — BGR24 samples survive exactly
+  l.enc->pix_fmt = pix;
   l.enc->time_base = tb;
   // every frame an independent keyframe: required for the parallel pool,
-  // and the archival norm for FFV1
+  // and the archival norm for lossless codecs
   l.enc->gop_size = 1;
   l.enc->thread_count = threads_per_lane;
   l.enc->thread_type = FF_THREAD_SLICE;
-  av_opt_set_int(l.enc->priv_data, "slicecrc", 1, 0);
+  if (codec->id == AV_CODEC_ID_FFV1)
+    av_opt_set_int(l.enc->priv_data, "slicecrc", 1, 0);
   if (avcodec_open2(l.enc, codec, nullptr) < 0) return false;
   l.sws = sws_getContext(width, height, AV_PIX_FMT_BGR24, width, height,
-                         AV_PIX_FMT_BGR0, SWS_POINT, nullptr, nullptr, nullptr);
+                         pix, SWS_POINT, nullptr, nullptr, nullptr);
   l.frame = av_frame_alloc();
-  l.frame->format = AV_PIX_FMT_BGR0;
+  l.frame->format = pix;
   l.frame->width = width;
   l.frame->height = height;
   av_frame_get_buffer(l.frame, 32);
@@ -313,10 +314,12 @@ bool open_lane(EncLane& l, const AVCodec* codec, int width, int height,
 
 }  // namespace
 
-// Open a writer with `workers` parallel FFV1 encoder lanes (0 = auto:
+// Open a writer with `workers` parallel lossless encoder lanes (0 = auto:
 // hardware threads, capped at 8; batches smaller than the pool use fewer).
-void* svx_writer_open2(const char* path, int width, int height, double fps,
-                       int workers) {
+// codec_name: "ffv1" (default container parity) or "huffyuv" (~5x less
+// encode work per core, measured pixel-exact).
+void* svx_writer_open3(const char* path, int width, int height, double fps,
+                       int workers, const char* codec_name) {
   auto* w = new Writer();
   w->width = width;
   w->height = height;
@@ -325,12 +328,15 @@ void* svx_writer_open2(const char* path, int width, int height, double fps,
     delete w;
     return nullptr;
   }
-  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_FFV1);
+  const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
   if (!codec) {
-    set_err("FFV1 encoder unavailable");
+    set_err(std::string("encoder unavailable: ") + codec_name);
     destroy_writer(w);
     return nullptr;
   }
+  // lossless packed-RGB pixel format per codec (BGR24 survives exactly)
+  AVPixelFormat pix = codec->id == AV_CODEC_ID_FFV1 ? AV_PIX_FMT_BGR0
+                                                    : AV_PIX_FMT_RGB24;
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   if (hw < 1) hw = 1;
   int n = workers > 0 ? workers : std::min(hw, 8);
@@ -344,8 +350,8 @@ void* svx_writer_open2(const char* path, int width, int height, double fps,
   w->stream->time_base = tb;
   w->lanes.resize(static_cast<size_t>(n));
   for (auto& l : w->lanes) {
-    if (!open_lane(l, codec, width, height, tb, per_lane)) {
-      set_err("cannot open FFV1 encoder");
+    if (!open_lane(l, codec, pix, width, height, tb, per_lane)) {
+      set_err(std::string("cannot open encoder: ") + codec_name);
       destroy_writer(w);
       return nullptr;
     }
@@ -366,8 +372,13 @@ void* svx_writer_open2(const char* path, int width, int height, double fps,
   return w;
 }
 
+void* svx_writer_open2(const char* path, int width, int height, double fps,
+                       int workers) {
+  return svx_writer_open3(path, width, height, fps, workers, "ffv1");
+}
+
 void* svx_writer_open(const char* path, int width, int height, double fps) {
-  return svx_writer_open2(path, width, height, fps, 0);
+  return svx_writer_open3(path, width, height, fps, 0, "ffv1");
 }
 
 // Write n tightly packed BGR24 frames. Returns 0 on success. Frames are

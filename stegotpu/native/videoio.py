@@ -57,6 +57,11 @@ def _load():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
             ctypes.c_int,
         ]
+        lib.svx_writer_open3.restype = ctypes.c_void_p
+        lib.svx_writer_open3.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_int, ctypes.c_char_p,
+        ]
         lib.svx_writer_write.restype = ctypes.c_int
         lib.svx_writer_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         lib.svx_writer_close.restype = ctypes.c_int
@@ -136,14 +141,15 @@ class NativeVideoWriter:
     """
 
     def __init__(self, path: str | Path, width: int, height: int, fps: float,
-                 workers: int = 0):
+                 workers: int = 0, codec: str = "ffv1"):
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native video lib unavailable: {_build_error}")
         self._lib = lib
         Path(path).parent.mkdir(parents=True, exist_ok=True)
-        self._h = lib.svx_writer_open2(str(path).encode(), width, height,
-                                       float(fps), int(workers))
+        self._h = lib.svx_writer_open3(str(path).encode(), width, height,
+                                       float(fps), int(workers),
+                                       codec.encode())
         if not self._h:
             raise IOError(lib.svx_last_error().decode())
         self.width, self.height = width, height

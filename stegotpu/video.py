@@ -141,9 +141,12 @@ class VideoReader:
 class VideoWriter:
     """Lossless stego video writer (FFV1 in .avi by default).
 
-    Native FFmpeg backend (slice-threaded FFV1 encode, batched C calls) when
-    available; cv2 otherwise. Non-FFV1 codecs always go through cv2.
+    Native FFmpeg backend (frame-parallel encoder-lane pool, batched C
+    calls) when available for FFV1 and HuffYUV; cv2 otherwise (e.g. RGBA
+    raw).
     """
+
+    _NATIVE_CODECS = {"FFV1": "ffv1", "HFYU": "huffyuv"}
 
     def __init__(
         self,
@@ -158,8 +161,11 @@ class VideoWriter:
         Path(self.path).parent.mkdir(parents=True, exist_ok=True)
         self._native = None
         self._out = None
-        if codec == "FFV1" and _use_native(backend):
-            self._native = native_io.NativeVideoWriter(self.path, width, height, fps)
+        if codec in self._NATIVE_CODECS and _use_native(backend):
+            self._native = native_io.NativeVideoWriter(
+                self.path, width, height, fps,
+                codec=self._NATIVE_CODECS[codec],
+            )
         else:
             fourcc = cv2.VideoWriter_fourcc(*codec)
             self._out = cv2.VideoWriter(

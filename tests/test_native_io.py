@@ -114,3 +114,31 @@ def test_parallel_encoder_pool_cv2_decodable(rng, tmp_path):
         got.append(f)
     cap.release()
     np.testing.assert_array_equal(np.stack(got), frames)
+
+
+def test_native_huffyuv_pool_lossless_and_cv2_decodable(rng, tmp_path):
+    """HuffYUV through the encoder-lane pool: lossless, decodable by both
+    the native reader and cv2 (the reference extractor's consumer)."""
+    frames = _frames(rng, n=11)
+    path = str(tmp_path / "hfyu.avi")
+    with videoio.NativeVideoWriter(path, 96, 64, 24.0, workers=3,
+                                   codec="huffyuv") as w:
+        w.write(frames[:4])
+        w.write(frames[4:])
+    with videoio.NativeVideoReader(path) as r:
+        np.testing.assert_array_equal(r.read_batch(16, 64, 96), frames)
+    cap = cv2.VideoCapture(path)
+    got = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        got.append(f)
+    cap.release()
+    np.testing.assert_array_equal(np.stack(got), frames)
+
+
+def test_native_writer_unknown_codec_fails_cleanly(tmp_path):
+    with pytest.raises(IOError, match="encoder unavailable"):
+        videoio.NativeVideoWriter(tmp_path / "x.avi", 96, 64, 24.0,
+                                  codec="nonsense")
