@@ -18,6 +18,7 @@ format and must match the reference byte-for-byte:
 
 from __future__ import annotations
 
+import logging
 import os
 from pathlib import Path
 
@@ -34,6 +35,8 @@ from stegotpu.config import (
     HKDF_INFO,
     HKDF_SALT_BYTES,
 )
+
+log = logging.getLogger("stegotpu")
 
 CURVE = ec.SECP256R1()
 # group order of SECP256R1 (SEC 2), for deterministic scalar derivation
@@ -177,6 +180,11 @@ def setup_receiver_keys(
     # produce stego videos the private key cannot decrypt — rewrite it from
     # the private key (the private PEM is the source of truth)
     if pub.public_numbers() != priv.public_key().public_numbers():
+        log.warning(
+            "public PEM %s did not match private PEM %s — rewriting the "
+            "public file from the private key (check for a restored/stale "
+            "key backup if this is unexpected)", public_path, private_path,
+        )
         pub = priv.public_key()
         public_path.write_bytes(
             pub.public_bytes(

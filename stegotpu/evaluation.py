@@ -135,10 +135,16 @@ def compare_videos(
     video_a: str | Path,
     video_b: str | Path,
     max_frames: int | None = None,
-    batch_frames: int = 8,
+    batch_frames: int = 32,
 ) -> VideoComparison:
     """Full-video gray PSNR/SSIM (the reference compares only the first
-    frame, evaluation.py:176-192; this walks every frame pair, batched)."""
+    frame, evaluation.py:176-192; this walks every frame pair).
+
+    Each decoded batch is one device pass through the jitted batched
+    PSNR/SSIM reductions (metrics.psnr_batch/ssim_batch) — only the
+    per-frame scalars cross back to the host.
+    """
+    from stegotpu.metrics import psnr_batch, ssim_batch
     from stegotpu.video import VideoReader
 
     psnrs: list[float] = []
@@ -148,21 +154,26 @@ def compare_videos(
         w = min(ra.info.cropped[1], rb.info.cropped[1])
         it_a = ra.batches(batch_frames)
         it_b = rb.batches(batch_frames)
-        done = False
-        while not done:
+        while True:
             a = next(it_a, None)
             b = next(it_b, None)
             if a is None or b is None:
                 break
             n = min(a.shape[0], b.shape[0])
+            if max_frames:
+                n = min(n, max_frames - len(psnrs))
+            if n <= 0:
+                break
             ga = bgr_to_gray_np(a[:n, :h, :w])
             gb = bgr_to_gray_np(b[:n, :h, :w])
-            for i in range(n):
-                psnrs.append(psnr_np(ga[i], gb[i]))
-                ssims.append(ssim_np(ga[i], gb[i]))
-                if max_frames and len(psnrs) >= max_frames:
-                    done = True
-                    break
+            if n < batch_frames:  # pad the tail batch: one compiled shape
+                pad = ((0, batch_frames - n), (0, 0), (0, 0))
+                ga = np.pad(ga, pad)
+                gb = np.pad(gb, pad)
+            psnrs.extend(np.asarray(psnr_batch(ga, gb), dtype=np.float64)[:n])
+            ssims.extend(np.asarray(ssim_batch(ga, gb), dtype=np.float64)[:n])
+            if max_frames and len(psnrs) >= max_frames:
+                break
     if not psnrs:
         raise IOError("no comparable frames")
     finite = [p for p in psnrs if p != float("inf")]

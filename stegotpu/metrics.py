@@ -36,11 +36,31 @@ def ber(bits_a: jnp.ndarray, bits_b: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((bits_a != bits_b).astype(jnp.float32))
 
 
-def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+def _gaussian_1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
     g = np.exp(-(x**2) / (2.0 * sigma**2))
-    g /= g.sum()
+    return (g / g.sum()).astype(np.float32)
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = _gaussian_1d(size, sigma)
     return np.outer(g, g).astype(np.float32)
+
+
+def _gauss_filter_batch(x: jnp.ndarray) -> jnp.ndarray:
+    """Separable 11x11 Gaussian, VALID padding, over (N, H, W) stacks.
+
+    Two 1-D passes (22 taps/px) instead of the dense 11x11 window
+    (121 taps/px) — identical output, ~5.5x less work. Each pass is a
+    shift-and-add over static slices rather than a lax.conv: a 1-channel
+    1-D conv hits XLA:CPU's generic (scalar) conv path, ~15x slower than
+    these fully-vectorized fused multiply-adds; on TPU both lower to VPU
+    elementwise work, so shift-and-add is the right form everywhere.
+    """
+    g = _gaussian_1d()
+    h, w = x.shape[-2], x.shape[-1]
+    y = sum(float(g[k]) * x[:, :, k : k + w - 10] for k in range(11))
+    return sum(float(g[k]) * y[:, k : k + h - 10, :] for k in range(11))
 
 
 @functools.partial(jax.jit, static_argnames=("data_range",))
@@ -50,25 +70,37 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 255.0) -> jnp.ndarr
     Gaussian 11x11 window (sigma 1.5), K1=0.01, K2=0.03, 'valid' padding.
     Runs as grouped convolutions on device.
     """
+    return ssim_batch(a[None], b[None], data_range)[0]
+
+
+@jax.jit
+def psnr_batch(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame PSNR over (B, H, W) stacks; inf where identical."""
+    d = a.astype(jnp.float32) - b.astype(jnp.float32)
+    m = jnp.mean(d * d, axis=(-2, -1))
+    return jnp.where(m == 0, jnp.inf, 10.0 * jnp.log10(255.0 * 255.0 / m))
+
+
+@functools.partial(jax.jit, static_argnames=("data_range",))
+def ssim_batch(a: jnp.ndarray, b: jnp.ndarray,
+               data_range: float = 255.0) -> jnp.ndarray:
+    """Per-frame SSIM over (B, H, W) stacks — the five moment maps ride one
+    batched separable conv (the whole batch is one device pass)."""
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
-    win = jnp.asarray(_gaussian_kernel())[None, None]  # (1, 1, 11, 11) OIHW
-
-    def filt(x):
-        return jax.lax.conv_general_dilated(
-            x[None, None], win, window_strides=(1, 1), padding="VALID"
-        )[0, 0]
-
-    mu_a, mu_b = filt(a), filt(b)
+    bsz = a.shape[0]
+    stacked = jnp.concatenate([a, b, a * a, b * b, a * b], axis=0)
+    f = _gauss_filter_batch(stacked)
+    mu_a, mu_b = f[:bsz], f[bsz : 2 * bsz]
     mu_a2, mu_b2, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    var_a = filt(a * a) - mu_a2
-    var_b = filt(b * b) - mu_b2
-    cov = filt(a * b) - mu_ab
+    var_a = f[2 * bsz : 3 * bsz] - mu_a2
+    var_b = f[3 * bsz : 4 * bsz] - mu_b2
+    cov = f[4 * bsz :] - mu_ab
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
     num = (2.0 * mu_ab + c1) * (2.0 * cov + c2)
     den = (mu_a2 + mu_b2 + c1) * (var_a + var_b + c2)
-    return jnp.mean(num / den)
+    return jnp.mean(num / den, axis=(-2, -1))
 
 
 # Host-side implementations ---------------------------------------------------

@@ -242,8 +242,17 @@ int svx_reader_read_batch(void* h, uint8_t* out, int batch, int crop_h,
     if (r->pkt->stream_index == r->stream_idx) {
       // a corrupt/truncated packet (cut-off file) is not fatal: skip it and
       // keep demuxing — the demuxer's own EOF ends the stream, and the
-      // caller sees a short read instead of a hard error
-      avcodec_send_packet(r->dec, r->pkt);
+      // caller sees a short read instead of a hard error. Anything OTHER
+      // than bad data (ENOMEM, decoder-state errors) must surface, not be
+      // laundered into a clean-looking short read.
+      ret = avcodec_send_packet(r->dec, r->pkt);
+      if (ret < 0 && ret != AVERROR_INVALIDDATA && ret != AVERROR(EAGAIN)) {
+        char buf[AV_ERROR_MAX_STRING_SIZE] = {0};
+        av_strerror(ret, buf, sizeof(buf));
+        set_err(std::string("decoder rejected packet: ") + buf);
+        av_packet_unref(r->pkt);
+        return -1;
+      }
     }
     av_packet_unref(r->pkt);
   }

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from stegotpu.config import BLOCK
 from stegotpu.ops.qim import embed_frames as _embed_xla, extract_frames as _extract_xla
@@ -124,7 +124,7 @@ def sharded_embed_frames(mesh: Mesh, num_ac: int, block: int = BLOCK,
         _local, mesh=mesh,
         in_specs=(P("data", "space", None), P("data", "space"), P(), P()),
         out_specs=(P("data", "space", None), P("data")),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -142,7 +142,7 @@ def sharded_extract_frames(mesh: Mesh, num_ac: int, block: int = BLOCK,
         _local, mesh=mesh,
         in_specs=(P("data", "space", None), P()),
         out_specs=P("data", "space"),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -188,6 +188,6 @@ def sharded_roundtrip_step(mesh: Mesh, num_ac: int, block: int = BLOCK,
         _local, mesh=mesh,
         in_specs=(P("data", "space", None), P("data", "space"), P(), P()),
         out_specs=(P("data", "space", None), P("data"), P("data", "space"), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)

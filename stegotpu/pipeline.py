@@ -140,7 +140,7 @@ def _embed_payload(
     rng=None, timer=None,
 ) -> EmbedResult:
     if config.delta <= 0:
-        raise ValueError("embedding requires delta >= 1 (delta <= 0 embeds nothing)")
+        raise ValueError("embedding requires delta > 0 (delta <= 0 embeds nothing)")
     all_bits, _parts = payload_mod.seal_payload(
         plaintext, width, height, receiver_pub_compressed, config.dims_bits,
         rng=rng,

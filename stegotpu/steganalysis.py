@@ -39,13 +39,17 @@ def lattice_scores(
     deltas: jnp.ndarray,
     num_ac: int,
     eps: float = 0.08,
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame fraction of AC coefficients within eps*delta of the lattice.
 
     frames: (B, H, W) uint8 gray; deltas: (K,) float32 candidates.
-    Returns (K, B) scores in [0, 1]. Background expectation ~2*eps. Scoring
-    is per frame because a payload may occupy only some frames: the true
-    delta saturates (score -> ~1) on payload-carrying frames specifically.
+    Returns (scores, counts), each (K, B): scores in [0, 1] with background
+    expectation ~2*eps, counts = informative coefficients behind each score
+    (a score backed by a handful of samples is statistical noise — large
+    candidate deltas leave very few coefficients above their informative
+    threshold, and those can saturate coincidentally). Scoring is per frame
+    because a payload may occupy only some frames: the true delta saturates
+    (score -> ~1) on payload-carrying frames specifically.
     """
     xb = blockify(frames.astype(jnp.float32))
     k64 = jnp.asarray(kron_dct_matrix())
@@ -60,19 +64,22 @@ def lattice_scores(
         # drown the signal (flat image regions have many exact zeros)
         informative = jnp.abs(ac) > (0.75 * delta)
         frac = jnp.sum(jnp.where(informative & (dist < eps), 1.0, 0.0), axis=-1)
-        denom = jnp.maximum(jnp.sum(informative.astype(jnp.float32), axis=-1), 1.0)
-        return frac / denom
+        count = jnp.sum(informative.astype(jnp.float32), axis=-1)
+        return frac / jnp.maximum(count, 1.0), count
 
     return jax.vmap(score)(deltas)
 
 
 @functools.partial(jax.jit, static_argnames=())
 def _per_slot_scores(frames: jnp.ndarray, delta: jnp.ndarray,
-                     eps: float = 0.08) -> jnp.ndarray:
-    """Lattice score per flat in-block coefficient index (64,) at one delta.
+                     eps: float = 0.08) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Lattice score + informative count per flat coefficient index (64,).
 
     QIM snaps exactly the slots c = 1..N, so at the true delta the scores
     saturate for c <= N and fall to background beyond — which recovers N.
+    The informative count distinguishes "slot failed the lattice test" from
+    "slot had nothing to test" (all coefficients near zero, e.g. smooth
+    covers where high-frequency slots snap to 0 at |y| <= 0.75*delta).
     """
     xb = blockify(frames.astype(jnp.float32))
     k64 = jnp.asarray(kron_dct_matrix())
@@ -81,25 +88,35 @@ def _per_slot_scores(frames: jnp.ndarray, delta: jnp.ndarray,
     dist = jnp.abs(y - q * delta) / delta
     informative = jnp.abs(y) > (0.75 * delta)
     frac = jnp.sum(jnp.where(informative & (dist < eps), 1.0, 0.0), axis=1)
-    denom = jnp.maximum(jnp.sum(informative.astype(jnp.float32), axis=1), 1.0)
-    return frac / denom  # (B, 64): per frame, payload frames saturate
+    count = jnp.sum(informative.astype(jnp.float32), axis=1)
+    return frac / jnp.maximum(count, 1.0), count  # each (B, 64)
 
 
 def estimate_num_ac(frames_gray: np.ndarray, delta: float,
                     score_floor: float = 0.85) -> int:
     """Recover the out-of-band num_ac parameter from lattice structure.
 
-    Returns the largest N such that ALL slots 1..N saturate the lattice at
-    `delta` on the best (payload-carrying) frame — 0 if none do. Together
-    with the recovered delta this gives a warden everything
-    `stegotpu inspect` needs: the scheme hides content (AES-GCM), not
-    parameters.
+    Returns the largest N such that every *informative* slot 1..N saturates
+    the lattice at `delta` on the best (payload-carrying) frame — 0 if none
+    do. Slots with no informative coefficients (all |y| <= 0.75*delta, e.g.
+    high-frequency slots of a smooth cover) are inconclusive and skipped
+    rather than treated as evidence the payload stopped; scanning still
+    stops at the first informative slot below the floor. Together with the
+    recovered delta this gives a warden everything `stegotpu inspect`
+    needs: the scheme hides content (AES-GCM), not parameters.
     """
-    per_frame = np.asarray(_per_slot_scores(jnp.asarray(frames_gray),
-                                            jnp.float32(delta)))  # (B, 64)
+    scores_bf, counts_bf = _per_slot_scores(jnp.asarray(frames_gray),
+                                            jnp.float32(delta))  # (B, 64) x2
+    per_frame = np.asarray(scores_bf)
+    # score of each slot on its best frame; a slot is conclusive if ANY
+    # frame had informative coefficients for it
+    best_frame = per_frame.argmax(axis=0)
     scores = per_frame.max(axis=0)
+    counts = np.asarray(counts_bf)[best_frame, np.arange(per_frame.shape[1])]
     n = 0
     for c in range(1, scores.shape[0]):
+        if counts[c] < 1.0:
+            continue  # inconclusive slot: no evidence either way
         if scores[c] > score_floor:
             n = c
         else:
@@ -126,25 +143,45 @@ def analyze_frames(
     frames_gray: np.ndarray,
     num_ac: int = 10,
     delta_min: int = 6,
-    delta_max: int = 64,
+    delta_max: int = 100,
     threshold: float = 3.0,
     score_floor: float = 0.85,
+    min_informative: int = 32,
 ) -> SteganalysisReport:
     """Scan a delta grid and flag QIM lattice structure.
 
     Verdict requires BOTH a detection ratio above `threshold` AND a raw
     per-frame score above `score_floor`: true QIM saturates the lattice on
     payload frames (score ~0.95-1.0), while synthetic low-texture content can
-    align coincidentally with some delta but never saturates.
+    align coincidentally with some delta but never saturates. A candidate's
+    per-frame score only counts when at least `min_informative` coefficients
+    back it — large deltas leave few coefficients above their informative
+    threshold, and a 5-sample "score of 1.0" is noise, not evidence.
     """
     deltas = np.arange(delta_min, delta_max + 1, dtype=np.float32)
-    per_frame = np.asarray(
-        lattice_scores(jnp.asarray(frames_gray), jnp.asarray(deltas), num_ac)
-    )  # (K, B)
+    fj = jnp.asarray(frames_gray)
+    per_frame, counts = lattice_scores(fj, jnp.asarray(deltas), num_ac)
+    valid = np.asarray(counts) >= min_informative  # (K, B)
+    per_frame = np.where(valid, np.asarray(per_frame), 0.0)
     scores = per_frame.max(axis=1)  # best frame per candidate delta
-    background = float(np.median(scores))
+    valid_rows = valid.any(axis=1)
+    background = float(np.median(scores[valid_rows])) if valid_rows.any() \
+        else float(np.median(scores))
     best_idx = int(np.argmax(scores))
     best_score = float(scores[best_idx])
+    # Large deltas blur the grid: at delta ~80 the ±eps*delta tolerance is
+    # wide enough that neighboring candidates (78, 79, ...) catch the true
+    # lattice's points too. Re-score the candidates within ±10% of the
+    # coarse winner at a much tighter eps — only the exact delta survives
+    # uint8-requantization-level noise there.
+    near = np.abs(deltas - deltas[best_idx]) <= 0.1 * deltas[best_idx]
+    if near.sum() > 1 and best_score > score_floor:
+        fine_s, fine_c = lattice_scores(fj, jnp.asarray(deltas[near]), num_ac,
+                                        eps=0.02)
+        fine = np.where(np.asarray(fine_c) >= min_informative,
+                        np.asarray(fine_s), 0.0).max(axis=1)
+        best_idx = int(np.flatnonzero(near)[np.argmax(fine)])
+        best_score = float(scores[best_idx])
     ratio = best_score / max(background, 1e-6)
     detected = ratio > threshold and best_score > score_floor
     return SteganalysisReport(

@@ -38,6 +38,22 @@ def test_clean_video_not_flagged(stego_and_clean):
     assert rep.detection_ratio < 3.0
 
 
+def test_detects_high_delta_stego(tmp_path):
+    """The delta grid covers the reference GUI's full spinbox range [1,100]
+    (reference: app.py:231-234) — a delta=80 stego must NOT score as clean."""
+    fixtures.make_secret_image(tmp_path / "s.png", 32, 32, kind="noise", seed=7)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 320, 240, frames=4,
+                              kind="noise", seed=13)
+    _, pub_c = crypto.setup_receiver_keys(tmp_path / "k.pem", tmp_path / "p.pem")
+    res = embed_image_in_video(tmp_path / "c.mp4", tmp_path / "s.png",
+                               tmp_path / "st", pub_c,
+                               StegoConfig(delta=80, num_ac_coeffs=10))
+    assert res.success
+    rep = analyze_video(res.output_path, max_frames=2)
+    assert rep.detected
+    assert rep.best_delta == 80
+
+
 def test_analyze_frames_direct(rng):
     frames = rng.integers(40, 216, (2, 64, 64), dtype=np.uint8)
     rep = analyze_frames(frames)
