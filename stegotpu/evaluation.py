@@ -152,8 +152,8 @@ def compare_videos(
     with VideoReader(video_a) as ra, VideoReader(video_b) as rb:
         h = min(ra.info.cropped[0], rb.info.cropped[0])
         w = min(ra.info.cropped[1], rb.info.cropped[1])
-        it_a = ra.batches(batch_frames)
-        it_b = rb.batches(batch_frames)
+        it_a = ra.batches(batch_frames, mode="gray")
+        it_b = rb.batches(batch_frames, mode="gray")
         while True:
             a = next(it_a, None)
             b = next(it_b, None)
@@ -164,8 +164,8 @@ def compare_videos(
                 n = min(n, max_frames - len(psnrs))
             if n <= 0:
                 break
-            ga = bgr_to_gray_np(a[:n, :h, :w])
-            gb = bgr_to_gray_np(b[:n, :h, :w])
+            ga = a[:n, :h, :w]
+            gb = b[:n, :h, :w]
             if n < batch_frames:  # pad the tail batch: one compiled shape
                 pad = ((0, batch_frames - n), (0, 0), (0, 0))
                 ga = np.pad(ga, pad)

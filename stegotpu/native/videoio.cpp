@@ -54,6 +54,7 @@ struct EncLane {
   AVFrame* frame = nullptr;
   AVPacket* pkt = nullptr;
   std::vector<AVPacket*> out;  // packets produced this batch (cloned)
+  std::vector<uint8_t> scratch;  // gray->BGR replication buffer (lazy)
   bool failed = false;
 };
 
@@ -69,6 +70,19 @@ struct Writer {
 thread_local std::string g_last_error;
 
 void set_err(const std::string& e) { g_last_error = e; }
+
+// OpenCV's fixed-point BT.601 BGR->gray (bit-exact with cv2.cvtColor and
+// stegotpu.ops.color.bgr_to_gray_np): gray = (B*3735 + G*19235 + R*9798 +
+// 2^14) >> 15. Done here so the hot pipelines never materialize a host BGR
+// copy just to gray-convert it in numpy (reference gray convert:
+// config_and_setup.py:112).
+inline void bgr_row_to_gray(const uint8_t* src, uint8_t* dst, int n) {
+  for (int x = 0; x < n; ++x) {
+    const uint8_t* s = src + 3 * x;
+    dst[x] = static_cast<uint8_t>(
+        (s[0] * 3735 + s[1] * 19235 + s[2] * 9798 + 16384) >> 15);
+  }
+}
 
 // Encode one tightly packed BGR24 frame on a lane; clone emitted packets.
 bool lane_encode(EncLane* l, const uint8_t* src, int width, int height,
@@ -190,14 +204,22 @@ void svx_reader_info(void* h, int* w, int* hgt, double* fps, int64_t* nframes) {
   *nframes = r->nframes;
 }
 
-// Read up to `batch` frames as tightly packed BGR24 into out
-// (batch * crop_h * crop_w * 3 bytes, top-left cropped). Returns the number
-// of frames produced, 0 at EOF, -1 on error.
-int svx_reader_read_batch(void* h, uint8_t* out, int batch, int crop_h,
-                          int crop_w) {
+// Read up to `batch` frames, top-left cropped, into either or both of:
+//   bgr_out  — tightly packed BGR24 (batch * crop_h * crop_w * 3 bytes)
+//   gray_out — cv2-bit-exact BT.601 gray (batch * crop_h * crop_w bytes)
+// Pass nullptr for an output you don't need (extract-side pipelines read
+// gray only and never pay the 3x BGR copy across the ctypes boundary).
+// Returns the number of frames produced, 0 at EOF, -1 on error.
+int svx_reader_read_batch(void* h, uint8_t* bgr_out, uint8_t* gray_out,
+                          int batch, int crop_h, int crop_w) {
   auto* r = static_cast<Reader*>(h);
   if (r->done) return 0;
-  const size_t frame_bytes = static_cast<size_t>(crop_h) * crop_w * 3;
+  if (!bgr_out && !gray_out) {
+    set_err("read_batch: no output buffer");
+    return -1;
+  }
+  const size_t bgr_bytes = static_cast<size_t>(crop_h) * crop_w * 3;
+  const size_t gray_bytes = static_cast<size_t>(crop_h) * crop_w;
   int produced = 0;
   while (produced < batch) {
     // pull a decoded frame
@@ -213,11 +235,20 @@ int svx_reader_read_batch(void* h, uint8_t* out, int batch, int crop_h,
       }
       sws_scale(r->sws, r->frame->data, r->frame->linesize, 0, r->height,
                 r->bgr->data, r->bgr->linesize);
-      uint8_t* dst = out + static_cast<size_t>(produced) * frame_bytes;
       for (int y = 0; y < crop_h; ++y) {
-        std::memcpy(dst + static_cast<size_t>(y) * crop_w * 3,
-                    r->bgr->data[0] + static_cast<size_t>(y) * r->bgr->linesize[0],
-                    static_cast<size_t>(crop_w) * 3);
+        const uint8_t* row =
+            r->bgr->data[0] + static_cast<size_t>(y) * r->bgr->linesize[0];
+        if (bgr_out) {
+          std::memcpy(bgr_out + static_cast<size_t>(produced) * bgr_bytes +
+                          static_cast<size_t>(y) * crop_w * 3,
+                      row, static_cast<size_t>(crop_w) * 3);
+        }
+        if (gray_out) {
+          bgr_row_to_gray(row,
+                          gray_out + static_cast<size_t>(produced) * gray_bytes +
+                              static_cast<size_t>(y) * crop_w,
+                          crop_w);
+        }
       }
       av_frame_unref(r->frame);
       ++produced;
@@ -327,8 +358,8 @@ bool open_lane(EncLane& l, const AVCodec* codec, AVPixelFormat pix,
 // hardware threads, capped at 8; batches smaller than the pool use fewer).
 // codec_name: "ffv1" (default container parity) or "huffyuv" (~5x less
 // encode work per core, measured pixel-exact).
-void* svx_writer_open3(const char* path, int width, int height, double fps,
-                       int workers, const char* codec_name) {
+void* svx_writer_open(const char* path, int width, int height, double fps,
+                      int workers, const char* codec_name) {
   auto* w = new Writer();
   w->width = width;
   w->height = height;
@@ -381,29 +412,38 @@ void* svx_writer_open3(const char* path, int width, int height, double fps,
   return w;
 }
 
-void* svx_writer_open2(const char* path, int width, int height, double fps,
-                       int workers) {
-  return svx_writer_open3(path, width, height, fps, workers, "ffv1");
-}
+namespace {
 
-void* svx_writer_open(const char* path, int width, int height, double fps) {
-  return svx_writer_open3(path, width, height, fps, 0, "ffv1");
-}
-
-// Write n tightly packed BGR24 frames. Returns 0 on success. Frames are
-// striped across the encoder lanes (each frame is an independent FFV1
-// keyframe), encoded concurrently, and muxed in pts order.
-int svx_writer_write(void* h, const uint8_t* bgr, int n) {
-  auto* w = static_cast<Writer*>(h);
-  const size_t frame_bytes = static_cast<size_t>(w->height) * w->width * 3;
+// Shared fan-out for the BGR and gray write entry points: stripe `n` frames
+// across the encoder lanes, encode concurrently, mux in pts order. `gray`
+// selects the per-frame source interpretation (BGR24 vs single-channel gray
+// replicated to BGR in the lane's scratch buffer — the stego pipeline's
+// GRAY2BGR step, reference: embed_process.py:126 — so the host never builds
+// the 3x replicated array).
+int writer_write_impl(Writer* w, const uint8_t* src, int n, bool gray) {
+  const size_t frame_bytes =
+      static_cast<size_t>(w->height) * w->width * (gray ? 1 : 3);
   const int nlanes = static_cast<int>(w->lanes.size());
   const int64_t base_pts = w->pts;
 
   auto run_lane = [&](int li) {
     EncLane* l = &w->lanes[static_cast<size_t>(li)];
     for (int i = li; i < n; i += nlanes) {
-      if (!lane_encode(l, bgr + static_cast<size_t>(i) * frame_bytes,
-                       w->width, w->height, base_pts + i)) {
+      const uint8_t* frame_src = src + static_cast<size_t>(i) * frame_bytes;
+      if (gray) {
+        if (l->scratch.empty())
+          l->scratch.resize(static_cast<size_t>(w->height) * w->width * 3);
+        uint8_t* d = l->scratch.data();
+        const size_t npx = static_cast<size_t>(w->height) * w->width;
+        for (size_t p = 0; p < npx; ++p) {
+          const uint8_t v = frame_src[p];
+          d[3 * p] = v;
+          d[3 * p + 1] = v;
+          d[3 * p + 2] = v;
+        }
+        frame_src = d;
+      }
+      if (!lane_encode(l, frame_src, w->width, w->height, base_pts + i)) {
         l->failed = true;
         return;
       }
@@ -431,6 +471,19 @@ int svx_writer_write(void* h, const uint8_t* bgr, int n) {
     return -1;
   }
   return 0;
+}
+
+}  // namespace
+
+// Write n tightly packed BGR24 frames. Returns 0 on success.
+int svx_writer_write(void* h, const uint8_t* bgr, int n) {
+  return writer_write_impl(static_cast<Writer*>(h), bgr, n, false);
+}
+
+// Write n tightly packed single-channel gray frames, replicated to BGR
+// (GRAY2BGR) inside the encoder lanes. Returns 0 on success.
+int svx_writer_write_gray(void* h, const uint8_t* gray, int n) {
+  return writer_write_impl(static_cast<Writer*>(h), gray, n, true);
 }
 
 int svx_writer_close(void* h) {

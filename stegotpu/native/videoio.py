@@ -45,25 +45,21 @@ def _load():
         ]
         lib.svx_reader_read_batch.restype = ctypes.c_int
         lib.svx_reader_read_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.svx_reader_close.argtypes = [ctypes.c_void_p]
         lib.svx_writer_open.restype = ctypes.c_void_p
         lib.svx_writer_open.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
-        ]
-        lib.svx_writer_open2.restype = ctypes.c_void_p
-        lib.svx_writer_open2.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
-            ctypes.c_int,
-        ]
-        lib.svx_writer_open3.restype = ctypes.c_void_p
-        lib.svx_writer_open3.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
             ctypes.c_int, ctypes.c_char_p,
         ]
         lib.svx_writer_write.restype = ctypes.c_int
         lib.svx_writer_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        lib.svx_writer_write_gray.restype = ctypes.c_int
+        lib.svx_writer_write_gray.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
         lib.svx_writer_close.restype = ctypes.c_int
         lib.svx_writer_close.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -101,22 +97,45 @@ class NativeVideoReader:
         self.width, self.height = w.value, h.value
         self.fps, self.frame_count = fps.value, int(n.value)
 
-    def read_batch(self, batch: int, crop_h: int, crop_w: int) -> np.ndarray | None:
-        """Returns (n, crop_h, crop_w, 3) uint8 BGR, or None at EOF."""
+    def _read(self, batch: int, crop_h: int, crop_w: int, want_bgr: bool,
+              want_gray: bool):
         if not (0 < crop_h <= self.height and 0 < crop_w <= self.width):
             raise ValueError(
                 f"crop ({crop_h}, {crop_w}) exceeds decoded frame "
                 f"({self.height}, {self.width})"
             )
-        out = np.empty((batch, crop_h, crop_w, 3), dtype=np.uint8)
+        bgr = np.empty((batch, crop_h, crop_w, 3), np.uint8) if want_bgr else None
+        gray = np.empty((batch, crop_h, crop_w), np.uint8) if want_gray else None
         got = self._lib.svx_reader_read_batch(
-            self._h, out.ctypes.data_as(ctypes.c_void_p), batch, crop_h, crop_w
+            self._h,
+            bgr.ctypes.data_as(ctypes.c_void_p) if want_bgr else None,
+            gray.ctypes.data_as(ctypes.c_void_p) if want_gray else None,
+            batch, crop_h, crop_w,
         )
         if got < 0:
             raise IOError(self._lib.svx_last_error().decode())
         if got == 0:
             return None
-        return out[:got]
+        return (bgr[:got] if want_bgr else None,
+                gray[:got] if want_gray else None)
+
+    def read_batch(self, batch: int, crop_h: int, crop_w: int) -> np.ndarray | None:
+        """Returns (n, crop_h, crop_w, 3) uint8 BGR, or None at EOF."""
+        r = self._read(batch, crop_h, crop_w, True, False)
+        return None if r is None else r[0]
+
+    def read_batch_gray(self, batch: int, crop_h: int, crop_w: int) -> np.ndarray | None:
+        """Returns (n, crop_h, crop_w) uint8 cv2-bit-exact gray, or None at
+        EOF. The BGR intermediate never crosses the ctypes boundary."""
+        r = self._read(batch, crop_h, crop_w, False, True)
+        return None if r is None else r[1]
+
+    def read_batch_both(
+        self, batch: int, crop_h: int, crop_w: int
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Returns (bgr, gray) for the same frames, or None at EOF (the embed
+        pipeline needs gray for the kernel and BGR for color passthrough)."""
+        return self._read(batch, crop_h, crop_w, True, True)
 
     def close(self) -> None:
         if self._h:
@@ -147,9 +166,9 @@ class NativeVideoWriter:
             raise RuntimeError(f"native video lib unavailable: {_build_error}")
         self._lib = lib
         Path(path).parent.mkdir(parents=True, exist_ok=True)
-        self._h = lib.svx_writer_open3(str(path).encode(), width, height,
-                                       float(fps), int(workers),
-                                       codec.encode())
+        self._h = lib.svx_writer_open(str(path).encode(), width, height,
+                                      float(fps), int(workers),
+                                      codec.encode())
         if not self._h:
             raise IOError(lib.svx_last_error().decode())
         self.width, self.height = width, height
@@ -169,6 +188,24 @@ class NativeVideoWriter:
         rc = self._lib.svx_writer_write(
             self._h, frames_bgr.ctypes.data_as(ctypes.c_void_p),
             frames_bgr.shape[0],
+        )
+        if rc != 0:
+            raise IOError(self._lib.svx_last_error().decode())
+
+    def write_gray(self, frames_gray: np.ndarray) -> None:
+        """frames_gray: (n, H, W) or (H, W) uint8 — replicated to BGR
+        (GRAY2BGR) inside the native encoder lanes."""
+        if frames_gray.ndim == 2:
+            frames_gray = frames_gray[None]
+        if frames_gray.shape[1:] != (self.height, self.width):
+            raise ValueError(
+                f"frame shape {frames_gray.shape[1:]} != configured "
+                f"({self.height}, {self.width})"
+            )
+        frames_gray = np.ascontiguousarray(frames_gray, dtype=np.uint8)
+        rc = self._lib.svx_writer_write_gray(
+            self._h, frames_gray.ctypes.data_as(ctypes.c_void_p),
+            frames_gray.shape[0],
         )
         if rc != 0:
             raise IOError(self._lib.svx_last_error().decode())

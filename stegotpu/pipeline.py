@@ -32,7 +32,6 @@ from stegotpu import payload as payload_mod
 from stegotpu.bitstream import bits_to_bytes, bytes_to_bits, pad_bits
 from stegotpu.config import StegoConfig, crop_dims
 from stegotpu.metrics import psnr_np
-from stegotpu.ops.color import bgr_to_gray_np
 from stegotpu.ops.dispatch import embed_fn, extract_fn
 from stegotpu.payload import NeedMoreBits, PayloadParts, open_payload, parse_payload_bits
 from stegotpu.video import Prefetcher, VideoReader, VideoWriter, force_avi_path
@@ -107,7 +106,9 @@ def embed_image_in_video(
     rng: optional numpy Generator for a DETERMINISTIC crypto stage
     (ephemeral key/salt/nonce) — test builds only; see payload.seal_payload.
     timer: optional utils.profiling.StageTimer collecting decode_wait /
-    gray_convert / device_dispatch / device_readback / encode stage totals.
+    device_dispatch / device_readback / encode stage totals (gray conversion
+    rides the decode stage: in C++ on the native backend, in the batches()
+    generator on the cv2 fallback — either way off this loop's critical path).
     """
     width, height, img_bits = image_codec.image_to_bits(secret_image)
     img_bytes = bits_to_bytes(img_bits)
@@ -190,13 +191,14 @@ def _embed_payload(
                         writer.write_bgr_batch(batch_bgr[i:j])
                     i = j
 
+        # mode='both': the native decoder emits the cv2-bit-exact gray plane
+        # alongside BGR during decode (C++, on the prefetch thread) — the old
+        # host-side gray_convert stage is gone from the hot loop entirely.
         with VideoWriter(out_path, reader.info.fps, w8, h8, config.codec) as writer, \
-                Prefetcher(reader.batches(batch_frames)) as prefetched:
-            for batch_bgr in _timed_iter(prefetched, timer, "decode_wait"):
+                Prefetcher(reader.batches(batch_frames, mode="both")) as prefetched:
+            for batch_bgr, gray in _timed_iter(prefetched, timer, "decode_wait"):
                 n = batch_bgr.shape[0]
                 if cursor < total:
-                    with _stage(timer, "gray_convert"):
-                        gray = bgr_to_gray_np(batch_bgr)  # cv2-bit-exact
                     if n < batch_frames:  # stable jit shape for the tail batch
                         gray = np.concatenate(
                             [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
@@ -319,11 +321,11 @@ def extract_image_from_video(
                 return True
 
         try:
-            with Prefetcher(reader.batches(batch_frames)) as prefetched:
-                for batch_bgr in _timed_iter(prefetched, timer, "decode_wait"):
-                    n = batch_bgr.shape[0]
-                    with _stage(timer, "gray_convert"):
-                        gray = bgr_to_gray_np(batch_bgr)
+            # mode='gray': the native decoder converts to gray in C++ during
+            # decode; the 3x-larger BGR plane never reaches the host arrays.
+            with Prefetcher(reader.batches(batch_frames, mode="gray")) as prefetched:
+                for gray in _timed_iter(prefetched, timer, "decode_wait"):
+                    n = gray.shape[0]
                     if n < batch_frames:
                         gray = np.concatenate(
                             [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]

@@ -93,29 +93,32 @@ def _per_slot_scores(frames: jnp.ndarray, delta: jnp.ndarray,
 
 
 def estimate_num_ac(frames_gray: np.ndarray, delta: float,
-                    score_floor: float = 0.85) -> int:
+                    score_floor: float = 0.85,
+                    min_informative: int = 16) -> int:
     """Recover the out-of-band num_ac parameter from lattice structure.
 
-    Returns the largest N such that every *informative* slot 1..N saturates
-    the lattice at `delta` on the best (payload-carrying) frame — 0 if none
-    do. Slots with no informative coefficients (all |y| <= 0.75*delta, e.g.
-    high-frequency slots of a smooth cover) are inconclusive and skipped
-    rather than treated as evidence the payload stopped; scanning still
-    stops at the first informative slot below the floor. Together with the
-    recovered delta this gives a warden everything `stegotpu inspect`
-    needs: the scheme hides content (AES-GCM), not parameters.
+    Returns the largest N such that every *conclusive* slot 1..N saturates
+    the lattice at `delta` on its best (payload-carrying) frame — 0 if none
+    do. A slot is conclusive only when some frame backs it with at least
+    `min_informative` coefficients above the informative threshold: slots
+    with nothing to test (smooth covers snap high-frequency coefficients to
+    0 at |y| <= 0.75*delta) are skipped rather than treated as evidence the
+    payload stopped, and slots with a mere handful of samples are skipped
+    rather than trusted (2-3 coincidentally lattice-aligned coefficients
+    would otherwise fake saturation). Scanning still stops at the first
+    conclusive slot below the floor. Together with the recovered delta this
+    gives a warden everything `stegotpu inspect` needs: the scheme hides
+    content (AES-GCM), not parameters.
     """
     scores_bf, counts_bf = _per_slot_scores(jnp.asarray(frames_gray),
                                             jnp.float32(delta))  # (B, 64) x2
-    per_frame = np.asarray(scores_bf)
-    # score of each slot on its best frame; a slot is conclusive if ANY
-    # frame had informative coefficients for it
-    best_frame = per_frame.argmax(axis=0)
-    scores = per_frame.max(axis=0)
-    counts = np.asarray(counts_bf)[best_frame, np.arange(per_frame.shape[1])]
+    valid = np.asarray(counts_bf) >= min_informative
+    per_frame = np.where(valid, np.asarray(scores_bf), 0.0)
+    scores = per_frame.max(axis=0)  # best validly-backed frame per slot
+    conclusive = valid.any(axis=0)
     n = 0
     for c in range(1, scores.shape[0]):
-        if counts[c] < 1.0:
+        if not conclusive[c]:
             continue  # inconclusive slot: no evidence either way
         if scores[c] > score_floor:
             n = c
@@ -198,19 +201,13 @@ def analyze_frames(
 def read_gray_frames(path, max_frames: int = 4) -> np.ndarray:
     """First frames of a video as a (B, H, W) uint8 gray stack (the shared
     front half of analyze_video and the steganalyze CLI)."""
-    from stegotpu.ops.color import bgr_to_gray_np
     from stegotpu.video import VideoReader
 
-    frames = []
     with VideoReader(path) as reader:
-        for _ in range(max_frames):
-            f = reader.read_frame()
-            if f is None:
-                break
-            frames.append(bgr_to_gray_np(f))
-    if not frames:
+        batch = next(iter(reader.batches(max_frames, mode="gray")), None)
+    if batch is None or batch.shape[0] == 0:
         raise IOError(f"no frames readable from '{path}'")
-    return np.stack(frames)
+    return batch
 
 
 def analyze_video(

@@ -102,26 +102,56 @@ class VideoReader:
             return None
         return frame[:h, :w]
 
-    def batches(self, batch_size: int, crop: bool = True) -> Iterator[np.ndarray]:
-        """Yield (n, H, W, 3) uint8 BGR batches; the last may be short."""
+    def batches(self, batch_size: int, crop: bool = True,
+                mode: str = "bgr") -> Iterator:
+        """Yield uint8 frame batches; the last may be short.
+
+        mode='bgr'  -> (n, H, W, 3) BGR (default)
+        mode='gray' -> (n, H, W) cv2-bit-exact gray — on the native backend
+                       the conversion happens in C++ during decode and BGR
+                       never crosses into numpy; extract-side pipelines use
+                       this (3x less host traffic)
+        mode='both' -> ((n, H, W, 3) BGR, (n, H, W) gray) tuples — the embed
+                       pipeline needs gray for the kernel and BGR for the
+                       post-payload color passthrough
+
+        On the cv2 fallback, gray is computed in numpy inside this generator,
+        so a Prefetcher wrapping it still overlaps the conversion with
+        device compute.
+        """
         h, w = self.info.cropped if crop else (self.info.height, self.info.width)
         if self._native is not None:
+            read = {
+                "bgr": self._native.read_batch,
+                "gray": self._native.read_batch_gray,
+                "both": self._native.read_batch_both,
+            }[mode]
             while True:
-                batch = self._native.read_batch(batch_size, h, w)
+                batch = read(batch_size, h, w)
                 if batch is None:
                     return
                 yield batch
+        from stegotpu.ops.color import bgr_to_gray_np
+
         buf: list[np.ndarray] = []
+
+        def emit(frames: list[np.ndarray]):
+            bgr = np.stack(frames)
+            if mode == "bgr":
+                return bgr
+            gray = bgr_to_gray_np(bgr)
+            return gray if mode == "gray" else (bgr, gray)
+
         while True:
             frame = self.read_frame(crop)
             if frame is None:
                 break
             buf.append(frame)
             if len(buf) == batch_size:
-                yield np.stack(buf)
+                yield emit(buf)
                 buf = []
         if buf:
-            yield np.stack(buf)
+            yield emit(buf)
 
     def release(self) -> None:
         if self._native is not None:
@@ -188,9 +218,12 @@ class VideoWriter:
                 self._out.write(np.ascontiguousarray(f))
 
     def write_gray_batch(self, frames_gray: np.ndarray) -> None:
-        """Write gray frames replicated to BGR (reference: embed_process.py:126)."""
+        """Write gray frames replicated to BGR (reference: embed_process.py:126).
+
+        The native backend replicates inside the encoder lanes — the 3x BGR
+        array is never built on the host."""
         if self._native is not None:
-            self._native.write(np.repeat(frames_gray[..., None], 3, axis=-1))
+            self._native.write_gray(frames_gray)
         else:
             for f in frames_gray:
                 self._out.write(

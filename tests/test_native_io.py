@@ -142,3 +142,48 @@ def test_native_writer_unknown_codec_fails_cleanly(tmp_path):
     with pytest.raises(IOError, match="encoder unavailable"):
         videoio.NativeVideoWriter(tmp_path / "x.avi", 96, 64, 24.0,
                                   codec="nonsense")
+
+
+def test_native_gray_decode_bit_exact(rng, tmp_path):
+    """The C++ gray plane must equal the numpy cv2-bit-exact conversion of
+    the BGR plane for the same frames (reference gray convert:
+    config_and_setup.py:112)."""
+    from stegotpu.ops.color import bgr_to_gray_np
+
+    frames = _frames(rng, n=5)
+    path = str(tmp_path / "g.avi")
+    with videoio.NativeVideoWriter(path, 96, 64, 24.0) as w:
+        w.write(frames)
+    with videoio.NativeVideoReader(path) as r:
+        bgr, gray = r.read_batch_both(8, 64, 96)
+    assert gray.shape == (5, 64, 96)
+    np.testing.assert_array_equal(gray, bgr_to_gray_np(bgr))
+    # gray-only read on a fresh reader matches too (and crops identically)
+    with videoio.NativeVideoReader(path) as r:
+        gray2 = r.read_batch_gray(8, 48, 88)
+    np.testing.assert_array_equal(gray2, gray[:, :48, :88])
+
+
+def test_native_write_gray_replicates(rng, tmp_path):
+    """write_gray must produce the same file contents as writing the host-
+    replicated GRAY2BGR frames (reference: embed_process.py:126)."""
+    gray = rng.integers(0, 256, (4, 64, 96), dtype=np.uint8)
+    p1, p2 = str(tmp_path / "a.avi"), str(tmp_path / "b.avi")
+    with videoio.NativeVideoWriter(p1, 96, 64, 24.0) as w:
+        w.write_gray(gray)
+    with videoio.NativeVideoWriter(p2, 96, 64, 24.0) as w:
+        w.write(np.repeat(gray[..., None], 3, axis=-1))
+    with videoio.NativeVideoReader(p1) as r:
+        a = r.read_batch(8, 64, 96)
+    with videoio.NativeVideoReader(p2) as r:
+        b = r.read_batch(8, 64, 96)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, np.repeat(gray[..., None], 3, axis=-1))
+
+
+def test_native_write_gray_shape_guard(rng, tmp_path):
+    gray = rng.integers(0, 256, (2, 32, 48), dtype=np.uint8)
+    with videoio.NativeVideoWriter(str(tmp_path / "s.avi"), 96, 64, 24.0) as w:
+        with pytest.raises(ValueError):
+            w.write_gray(gray)
+        w.write_gray(rng.integers(0, 256, (64, 96), dtype=np.uint8))  # 2-D ok

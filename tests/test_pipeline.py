@@ -163,13 +163,15 @@ def test_stage_timer_covers_all_pipeline_stages(media, keys, tmp_path):
         cfg, batch_frames=4, timer=t_embed,
     )
     assert res.success
-    assert {"decode_wait", "gray_convert", "device_dispatch",
+    # gray conversion happens inside decode now (native C++ or the batches()
+    # generator on the cv2 fallback) — no gray_convert stage remains
+    assert {"decode_wait", "device_dispatch",
             "device_readback", "encode"} <= set(t_embed.totals)
 
     t_ext = StageTimer()
     ext = extract_image_from_video(res.output_path, priv, cfg,
                                    batch_frames=4, timer=t_ext)
     assert ext.success
-    assert {"decode_wait", "gray_convert", "device_dispatch",
+    assert {"decode_wait", "device_dispatch",
             "device_readback"} <= set(t_ext.totals)
     assert "ms/call" in t_ext.report()
