@@ -181,6 +181,33 @@ def rows_to_bits(rows: jnp.ndarray, h: int, w: int, num_ac: int, stripe: int
     return jnp.concatenate(parts, axis=-1).reshape(b, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w", "num_ac", "stripe"))
+def packed_rows_to_bits(packed: jnp.ndarray, h: int, w: int, num_ac: int,
+                        stripe: int) -> jnp.ndarray:
+    """Wire-order unpack of the kernel's bit-PACKED compact rows -> (B, C).
+
+    The packed layout is one byte per (slot row g, block): lane x of the
+    unpacked row folds into byte x//8 with weight 2^(x%8), and since
+    BLOCK == 8 a byte's index IS the block column. The byte->bit expansion
+    (shift+mask) fuses with the slot-span slice into a single XLA pass over
+    8x less input than rows_to_bits reads.
+    """
+    b = packed.shape[0]
+    bh, bw = h // BLOCK, w // BLOCK
+    rn = rows_per_block(num_ac)
+    bh_s = stripe // BLOCK
+    rp = _rows_pad(stripe, rn)
+    r = packed.reshape(b, h // stripe, rp, bw)[:, :, : bh_s * rn]
+    r = r.reshape(b, bh, rn, bw, 1)
+    shifts = jnp.arange(BLOCK, dtype=jnp.uint8)
+    bits = (r >> shifts) & jnp.uint8(1)       # (b, bh, rn, bw, 8)
+    parts = [
+        bits[:, :, g, :, s0:s1]
+        for g, (s0, s1) in ((g, _slot_span(g, num_ac)) for g in range(rn))
+    ]
+    return jnp.concatenate(parts, axis=-1).reshape(b, -1)
+
+
 # --- kernels ------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
@@ -306,6 +333,39 @@ def _extract_kernel(frames_ref, pvr_ref, bh_f_ref, delta_ref, bits_ref, *, w):
     bits_ref[0] = _extract_bits(y, delta)
 
 
+@functools.lru_cache(maxsize=None)
+def _pack_matrix(w: int, dtype=np.float32) -> np.ndarray:
+    """(W, W/8) lane-folding pack operator: P[x, x//8] = 2^(x%8).
+
+    A lane-dim-changing fold isn't expressible as a Mosaic reshape, but the
+    MXU does cross-lane combination natively: bits_f32 @ P sums each 8-lane
+    group into one exact small integer (<= 255, exactly representable in
+    f32). This shrinks the extract output (and its HBM write) 8x; the
+    wire-order unpack then reads 8x fewer bytes (packed_rows_to_bits).
+    """
+    out = np.zeros((w, w // BLOCK), np.float32)
+    x = np.arange(w)
+    out[x, x // BLOCK] = (1 << (x % BLOCK)).astype(np.float32)
+    return out.astype(dtype)
+
+
+def _extract_bits_f32(y, delta):
+    """_extract_bits before the u8 cast (packing consumes f32 directly)."""
+    safe = jnp.where(delta > 0, delta, 1.0)
+    return jnp.where(delta > 0, jnp.mod(jnp.round(y / safe), 2.0), 0.0)
+
+
+def _extract_kernel_packed(frames_ref, pvr_ref, bh_f_ref, pk_ref, delta_ref,
+                           bits_ref, *, w):
+    delta = delta_ref[0]
+    x = _u8_to_f32(frames_ref[0])           # block is (1, stripe, w)
+    y = _dct2_compact(x, pvr_ref[:], bh_f_ref[:], w)
+    bf = _extract_bits_f32(y, delta)
+    bits_ref[0] = _f32_to_u8(
+        jnp.dot(bf, pk_ref[:], preferred_element_type=jnp.float32)
+    )
+
+
 def _interpret_default() -> bool:
     """Pallas has no compiled CPU backend — interpret there (tests/CI)."""
     return jax.default_backend() == "cpu"
@@ -389,10 +449,14 @@ def extract_frames_pallas(frames, delta, num_ac):
 def _extract_frames_pallas(
     frames: jnp.ndarray, delta: jnp.ndarray, num_ac: int, interpret: bool
 ) -> jnp.ndarray:
+    # packed variant: the kernel's bit output (and its HBM write) is 8x
+    # smaller; packed_rows_to_bits reads 8x less for the wire-order unpack.
+    # A/B vs the unpacked form: docs/TUNING.md (round 3).
     b, h, w = frames.shape
     stripe = pick_stripe(h)
-    bits_rows = _extract_frames_pallas_rows(frames, delta, num_ac, interpret)
-    return rows_to_bits(bits_rows, h, w, num_ac, stripe)
+    packed = _extract_frames_pallas_rows_packed(frames, delta, num_ac,
+                                                interpret)
+    return packed_rows_to_bits(packed, h, w, num_ac, stripe)
 
 
 @functools.partial(jax.jit, static_argnames=("num_ac", "interpret"))
@@ -434,6 +498,47 @@ def _extract_frames_pallas_rows(
     return bits_rows
 
 
+@functools.partial(jax.jit, static_argnames=("num_ac", "interpret"))
+def _extract_frames_pallas_rows_packed(
+    frames: jnp.ndarray, delta: jnp.ndarray, num_ac: int, interpret: bool
+) -> jnp.ndarray:
+    """Extract kernel only: bits PACKED 8/byte in the compact layout
+    (B, (H/stripe)*rp, W/8)."""
+    b, h, w = frames.shape
+    if w % _LANE:
+        raise ValueError(f"pallas path needs W % {_LANE} == 0, got {w}")
+    stripe = pick_stripe(h)
+    rn = rows_per_block(num_ac)
+    rp = _rows_pad(stripe, rn)
+    delta_arr = jnp.asarray(delta, dtype=jnp.float32).reshape(1)
+
+    grid = (b, h // stripe)
+    mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_extract_kernel_packed, w=w),
+        grid=grid,
+        compiler_params=_DIMSEM,
+        in_specs=[
+            pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            mat_spec, mat_spec, mat_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rp, w // BLOCK), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, (h // stripe) * rp, w // BLOCK), jnp.uint8
+        ),
+        interpret=interpret,
+    )(
+        frames,
+        jnp.asarray(_vert_reduced_matrix(stripe, rn)),
+        jnp.asarray(_horiz_matrix(inverse=False)),
+        jnp.asarray(_pack_matrix(w)),
+        delta_arr,
+    )
+
+
 def _roundtrip_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
                       bh_i_ref, delta_ref, lim_ref, stego_ref, bits_ref, *,
                       stripe, w, num_ac, cap, rn, rp):
@@ -458,14 +563,107 @@ def _roundtrip_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
     bits_ref[0] = _extract_bits(y2, delta)
 
 
+def _roundtrip_kernel_packed(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
+                             bh_i_ref, pk_ref, delta_ref, lim_ref, stego_ref,
+                             bits_ref, *, stripe, w, num_ac, cap, rn, rp):
+    """_roundtrip_kernel with the re-extracted bits packed 8/byte before the
+    HBM write (one extra small MXU matmul, 8x less bits traffic)."""
+    delta = delta_ref[0]
+    x = _u8_to_f32(frames_ref[0])
+    ys = _dct2_compact(x, pvr_ref[:], bh_f_ref[:], w)
+
+    bits = _u8_to_f32(rows_ref[0])
+    valid = _qim_valid_compact(
+        lim_ref[0], lim_ref[1], stripe=stripe, w=w, num_ac=num_ac, cap=cap,
+        rn=rn, rp=rp,
+    )
+    dy = _qim_sparse_delta(ys, bits, valid, delta)
+    xd = _idct2_sparse(dy, pve_ref[:], bh_i_ref[:], w)
+    stego_u8 = _f32_to_u8(jnp.clip(x + xd, 0.0, 255.0))
+    stego_ref[0] = stego_u8
+
+    y2 = _dct2_compact(_u8_to_f32(stego_u8), pvr_ref[:], bh_f_ref[:], w)
+    bf = _extract_bits_f32(y2, delta)
+    bits_ref[0] = _f32_to_u8(
+        jnp.dot(bf, pk_ref[:], preferred_element_type=jnp.float32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_ac", "interpret"))
+def _embed_and_extract_frames_pallas_packed(
+    frames, payload_bits, total_bits, delta, num_ac, interpret
+):
+    b, h, w = frames.shape
+    if w % _LANE:
+        raise ValueError(f"pallas path needs W % {_LANE} == 0, got {w}")
+    stripe = pick_stripe(h)
+    rn = rows_per_block(num_ac)
+    rp = _rows_pad(stripe, rn)
+    nb = (h // BLOCK) * (w // BLOCK)
+    cap = nb * num_ac
+
+    rows = payload_to_rows(payload_bits, h, w, num_ac, stripe)
+    delta_arr = delta.reshape(1)
+    lim = jnp.stack([total_bits, jnp.int32(0)]).astype(jnp.int32)
+
+    grid = (b, h // stripe)
+    mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tile_spec = pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    rows_spec = pl.BlockSpec((1, rp, w), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    packed_spec = pl.BlockSpec((1, rp, w // BLOCK), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)
+    stego, bits_packed = pl.pallas_call(
+        functools.partial(_roundtrip_kernel_packed, stripe=stripe, w=w,
+                          num_ac=num_ac, cap=cap, rn=rn, rp=rp),
+        grid=grid,
+        compiler_params=_DIMSEM,
+        in_specs=[tile_spec, rows_spec, mat_spec, mat_spec, mat_spec,
+                  mat_spec, mat_spec, smem_spec, smem_spec],
+        out_specs=(tile_spec, packed_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((b, (h // stripe) * rp, w // BLOCK),
+                                 jnp.uint8),
+        ),
+        interpret=interpret,
+    )(
+        frames, rows,
+        jnp.asarray(_vert_reduced_matrix(stripe, rn)),
+        jnp.asarray(_vert_expand_matrix(stripe, rn)),
+        jnp.asarray(_horiz_matrix(inverse=False)),
+        jnp.asarray(_horiz_matrix(inverse=True)),
+        jnp.asarray(_pack_matrix(w)),
+        delta_arr, lim,
+    )
+    extracted = packed_rows_to_bits(bits_packed, h, w, num_ac, stripe)
+    bits_per_frame = jnp.clip(
+        total_bits - jnp.arange(b, dtype=jnp.int32) * cap, 0, cap
+    )
+    return stego, bits_per_frame, extracted
+
+
+def embed_and_extract_frames_pallas_packed(frames, payload_bits, total_bits,
+                                           delta, num_ac):
+    """Single-pass fused round trip with bit-packed extract output."""
+    return _embed_and_extract_frames_pallas_packed(
+        frames, payload_bits, jnp.asarray(total_bits, jnp.int32),
+        jnp.asarray(delta, jnp.float32), num_ac, _interpret_default(),
+    )
+
+
 def embed_and_extract_frames_pallas(frames, payload_bits, total_bits, delta,
                                     num_ac):
     """Round trip via the single-pass fused kernel (one HBM frame read, the
     stego never re-read for re-extraction). In round 1 the two-kernel
     pipeline measured faster; with the round-2 compact/sparse-delta
     structure the fused kernel wins (7.9 vs 11.3 ms/128-frame batch at
-    1080p) — re-check per round in benchmarks/ab_kernels.py."""
-    return embed_and_extract_frames_pallas_fused(
+    1080p) — re-check per round in benchmarks/ab_kernels.py. Round 3: the
+    bit-PACKED extract output wins the A/B (8.89 vs 9.00 ms/128 at 1080p,
+    chained; docs/TUNING.md) and is now the default."""
+    return embed_and_extract_frames_pallas_packed(
         frames, payload_bits, total_bits, delta, num_ac
     )
 

@@ -107,3 +107,40 @@ def test_pallas_passthrough_and_boundary(rng):
     np.testing.assert_array_equal(np.asarray(stego)[0, 8:], frames[0, 8:])
     ex = np.asarray(extract_frames_pallas(stego, jnp.float32(DELTA), N_AC))
     np.testing.assert_array_equal(ex.reshape(-1)[:total], payload.reshape(-1)[:total])
+
+
+def test_packed_extract_matches_unpacked(rng):
+    """The bit-packed kernel output (8 slot bits/byte via the MXU pack
+    matmul) must unpack to exactly the unpacked kernel's wire-order bits,
+    and the packed fused roundtrip must be bit-identical to the unpacked
+    fused roundtrip (round-3 A/B default; docs/TUNING.md)."""
+    import jax.numpy as jnp
+
+    from stegotpu.ops.pallas_kernel import (
+        _extract_frames_pallas_rows_packed,
+        embed_and_extract_frames_pallas_fused,
+        embed_and_extract_frames_pallas_packed,
+        extract_frames_pallas,
+        packed_rows_to_bits,
+        pick_stripe,
+    )
+
+    for (h, w, num_ac) in [(128, 256, 10), (120, 384, 3), (64, 128, 63),
+                           (128, 128, 1)]:
+        frames = rng.integers(0, 256, (3, h, w), dtype=np.uint8)
+        cap = (h // 8) * (w // 8) * num_ac
+        payload = rng.integers(0, 2, (3, cap), dtype=np.uint8)
+        total = int(cap * 2 + 123)
+        b1 = np.asarray(extract_frames_pallas(frames, jnp.float32(20.0),
+                                              num_ac))
+        pk = _extract_frames_pallas_rows_packed(
+            jnp.asarray(frames), jnp.float32(20.0), num_ac, True)
+        b2 = np.asarray(packed_rows_to_bits(pk, h, w, num_ac, pick_stripe(h)))
+        np.testing.assert_array_equal(b1, b2)
+        s1, bpf1, e1 = embed_and_extract_frames_pallas_fused(
+            frames, payload, total, 20.0, num_ac)
+        s2, bpf2, e2 = embed_and_extract_frames_pallas_packed(
+            frames, payload, total, 20.0, num_ac)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+        np.testing.assert_array_equal(np.asarray(bpf1), np.asarray(bpf2))
