@@ -24,6 +24,7 @@ def _config_from_args(args) -> StegoConfig:
     return StegoConfig(delta=args.delta, num_ac_coeffs=args.coeffs,
                        kernel=getattr(args, "kernel", "auto"),
                        verified_embed=getattr(args, "verified", False),
+                       allow_residual=getattr(args, "allow_residual", False),
                        codec=getattr(args, "codec", "FFV1"))
 
 
@@ -101,8 +102,13 @@ def cmd_embed(args) -> int:
     )
     _report_timer(timer)
     if not res.success:
-        print(f"EMBED FAILED: {res.bits_embedded}/{res.total_payload_bits} bits "
-              f"embedded before the video ended", file=sys.stderr)
+        if res.residual_bits:
+            print(f"EMBED FAILED: {res.residual_bits} unrepairable payload "
+                  f"bits after verified repair (saturated cover) — "
+                  f"--allow-residual emits the file anyway", file=sys.stderr)
+        else:
+            print(f"EMBED FAILED: {res.bits_embedded}/{res.total_payload_bits} "
+                  f"bits embedded before the video ended", file=sys.stderr)
         return 1
     print(f"embedded {res.total_payload_bits} bits into '{res.output_path}' "
           f"({res.frames_used} frames)")
@@ -449,6 +455,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--batch", type=int, default=8, help="frames per device batch")
     e.add_argument("--verified", action="store_true",
                    help="closed-loop embed repair: BER=0 even on saturated covers")
+    e.add_argument("--allow-residual", action="store_true",
+                   help="with --verified: emit the stego even if unrepairable "
+                        "bits remain (default: fail the embed)")
     e.add_argument("--timing", action="store_true",
                    help="print decode/device/encode stage timing to stderr")
     _add_qim_flags(e)

@@ -48,8 +48,13 @@ class StegoConfig:
         otherwise — see ops/dispatch.py), 'xla', or 'pallas' (forced).
     verified_embed: closed-loop repair of clipping-induced bit losses
         (ops/verified.py) — guarantees BER=0 even on saturated covers, at the
-        cost of `repair_rounds` extra transform passes. The stego stays
-        decodable by any standard QIM extractor (including the reference).
+        cost of a fused re-extract (and, only when errors are found,
+        `repair_rounds` repair passes). The stego stays decodable by any
+        standard QIM extractor (including the reference).
+    allow_residual: verified mode normally FAILS the embed when unrepairable
+        slots remain (extreme saturated covers whose pre-clip dynamic range
+        exceeds 255); set True to keep the reference's silent-loss behavior
+        and emit the stego anyway (residual is still reported).
     """
 
     delta: int = 20
@@ -59,6 +64,7 @@ class StegoConfig:
     kernel: str = "auto"
     verified_embed: bool = False
     repair_rounds: int = 3
+    allow_residual: bool = False
 
     def __post_init__(self) -> None:
         if self.delta < 0:

@@ -645,6 +645,101 @@ def _embed_and_extract_frames_pallas_packed(
     return stego, bits_per_frame, extracted
 
 
+def _embed_check_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
+                        bh_i_ref, delta_ref, lim_ref, stego_ref, err_ref, *,
+                        stripe, w, num_ac, cap, rn, rp):
+    """Embed + in-VMEM re-extract + error COUNT (no bits output at all).
+
+    The verified-embed fast path needs only the stego and "did any payload
+    bit come back wrong?" — comparing re-extracted vs expected bits against
+    the valid mask here costs nothing extra (all three are already in VMEM)
+    and saves the packed-bits HBM write and the XLA-side compare pass.
+    err_ref is the full (B, 1) int32 SMEM buffer (Mosaic requires unblocked
+    SMEM outputs); each step accumulates into its frame's slot over the
+    stripe grid dim (the 'arbitrary' axis, where cross-step accumulation is
+    permitted).
+    """
+    delta = delta_ref[0]
+    x = _u8_to_f32(frames_ref[0])
+    ys = _dct2_compact(x, pvr_ref[:], bh_f_ref[:], w)
+
+    bits = _u8_to_f32(rows_ref[0])
+    valid = _qim_valid_compact(
+        lim_ref[0], lim_ref[1], stripe=stripe, w=w, num_ac=num_ac, cap=cap,
+        rn=rn, rp=rp,
+    )
+    dy = _qim_sparse_delta(ys, bits, valid, delta)
+    xd = _idct2_sparse(dy, pve_ref[:], bh_i_ref[:], w)
+    stego_u8 = _f32_to_u8(jnp.clip(x + xd, 0.0, 255.0))
+    stego_ref[0] = stego_u8
+
+    y2 = _dct2_compact(_u8_to_f32(stego_u8), pvr_ref[:], bh_f_ref[:], w)
+    bf2 = _extract_bits_f32(y2, delta)
+    errs = jnp.sum(jnp.where(valid & (bf2 != bits), 1, 0), dtype=jnp.int32)
+
+    f = pl.program_id(0)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        err_ref[f, 0] = 0
+
+    err_ref[f, 0] += errs
+
+
+@functools.partial(jax.jit, static_argnames=("num_ac", "interpret"))
+def _embed_and_check_frames_pallas(
+    frames, payload_bits, total_bits, delta, num_ac, interpret
+):
+    """(stego, bits_per_frame, errors_per_frame) — the verified fast path."""
+    b, h, w = frames.shape
+    if w % _LANE:
+        raise ValueError(f"pallas path needs W % {_LANE} == 0, got {w}")
+    stripe = pick_stripe(h)
+    rn = rows_per_block(num_ac)
+    rp = _rows_pad(stripe, rn)
+    nb = (h // BLOCK) * (w // BLOCK)
+    cap = nb * num_ac
+
+    rows = payload_to_rows(payload_bits, h, w, num_ac, stripe)
+    delta_arr = jnp.asarray(delta, jnp.float32).reshape(1)
+    lim = jnp.stack([total_bits.astype(jnp.int32), jnp.int32(0)])
+
+    grid = (b, h // stripe)
+    mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tile_spec = pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    rows_spec = pl.BlockSpec((1, rp, w), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    err_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # full (B, 1) buffer
+    stego, errors = pl.pallas_call(
+        functools.partial(_embed_check_kernel, stripe=stripe, w=w,
+                          num_ac=num_ac, cap=cap, rn=rn, rp=rp),
+        grid=grid,
+        compiler_params=_DIMSEM,
+        in_specs=[tile_spec, rows_spec, mat_spec, mat_spec, mat_spec,
+                  mat_spec, smem_spec, smem_spec],
+        out_specs=(tile_spec, err_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        frames, rows,
+        jnp.asarray(_vert_reduced_matrix(stripe, rn)),
+        jnp.asarray(_vert_expand_matrix(stripe, rn)),
+        jnp.asarray(_horiz_matrix(inverse=False)),
+        jnp.asarray(_horiz_matrix(inverse=True)),
+        delta_arr, lim,
+    )
+    bits_per_frame = jnp.clip(
+        total_bits.astype(jnp.int32) - jnp.arange(b, dtype=jnp.int32) * cap,
+        0, cap,
+    )
+    return stego, bits_per_frame, errors[:, 0]
+
+
 def embed_and_extract_frames_pallas_packed(frames, payload_bits, total_bits,
                                            delta, num_ac):
     """Single-pass fused round trip with bit-packed extract output."""

@@ -96,6 +96,7 @@ class EmbedResult:
     frames_used: int
     first_original_gray: np.ndarray | None = None
     first_stego_gray: np.ndarray | None = None
+    residual_bits: int = 0  # verified mode: unrepairable slots (0 = BER-0)
 
     @property
     def first_frame_psnr(self) -> float | None:
@@ -212,6 +213,7 @@ def _embed_payload(
         out_path = force_avi_path(video_out)
         cursor = 0
         frames_seen = 0
+        residual_total = 0
         first_orig = first_stego = None
         # One-deep device pipeline: batch k+1 is dispatched before batch k's
         # stego frames are pulled back for encoding, overlapping device
@@ -261,16 +263,20 @@ def _embed_payload(
                         batch_frames * cap_bits,
                     ).reshape(batch_frames, cap_bits)
                     if config.verified_embed:
-                        from stegotpu.ops.verified import embed_frames_verified
+                        from stegotpu.ops.verified import (
+                            embed_frames_verified_fast,
+                        )
 
                         with _stage(timer, "device_dispatch"):
-                            stego_dev, _bpf_dev, residual = embed_frames_verified(
+                            stego_dev, _bpf_dev, residual = embed_frames_verified_fast(
                                 jnp.asarray(gray), jnp.asarray(seg),
                                 jnp.int32(remaining), delta, config.num_ac_coeffs,
                                 repair_rounds=config.repair_rounds,
+                                kernel=config.kernel,
                             )
                         if int(residual):
-                            log.warning(
+                            residual_total += int(residual)
+                            log.error(
                                 "verified embed: %d unrepairable slots "
                                 "(extremely saturated cover)", int(residual),
                             )
@@ -307,8 +313,18 @@ def _embed_payload(
         log.warning(
             "video ended before full payload embedded (%d/%d bits)", cursor, total
         )
+    if residual_total and not config.allow_residual:
+        # verified mode's whole point: a wrong bit kills the AES-GCM tag on
+        # extract, so emit a FAILURE the caller can act on, not a log line
+        # (the file is still on disk for forensics; the result names why)
+        log.error(
+            "verified embed FAILED: %d unrepairable payload bits "
+            "(use allow_residual to emit anyway)", residual_total,
+        )
+        return EmbedResult(False, out_path, total, cursor, frames_seen,
+                           first_orig, first_stego, residual_total)
     return EmbedResult(success, out_path if success else None, total, cursor,
-                       frames_seen, first_orig, first_stego)
+                       frames_seen, first_orig, first_stego, residual_total)
 
 
 def extract_image_from_video(

@@ -65,3 +65,55 @@ def test_verified_partial_payload(rng):
     assert _roundtrip_errors(stego, payload, total) == 0
     # untouched blocks pass through exactly
     np.testing.assert_array_equal(np.asarray(stego)[1, 8:], frames[1, 8:])
+
+
+def test_verified_fast_path_equivalence(rng):
+    """embed_frames_verified_fast (Pallas fused roundtrip + conditional
+    repair) must return residual=0 and a BER-0 stego on a clean cover, and
+    take the repair branch (residual counted, bits recovered) on a
+    saturated one — same guarantees as the XLA path it wraps."""
+    import jax.numpy as jnp
+
+    from stegotpu.ops.pallas_kernel import extract_frames_pallas
+    from stegotpu.ops.verified import embed_frames_verified_fast
+
+    h, w, num_ac = 64, 128, 10
+    cap = (h // 8) * (w // 8) * num_ac
+    payload = rng.integers(0, 2, (2, cap), dtype=np.uint8)
+    total = jnp.int32(2 * cap)
+
+    # clean mid-range cover: fast branch, residual 0, bits recovered
+    frames = rng.integers(60, 196, (2, h, w), dtype=np.uint8)
+    stego, bpf, residual = embed_frames_verified_fast(
+        frames, payload, total, jnp.float32(20.0), num_ac, kernel="pallas")
+    assert int(residual) == 0
+    got = np.asarray(
+        extract_frames_pallas(stego, jnp.float32(20.0), num_ac))
+    np.testing.assert_array_equal(got, payload)
+
+    # flat-black cover: plain embed loses bits; verified-fast must repair
+    black = np.zeros((2, h, w), dtype=np.uint8)
+    stego_b, _, residual_b = embed_frames_verified_fast(
+        black, payload, total, jnp.float32(20.0), num_ac, kernel="pallas")
+    assert int(residual_b) == 0  # DC-shift repair fixes flat blocks
+    got_b = np.asarray(
+        extract_frames_pallas(stego_b, jnp.float32(20.0), num_ac))
+    np.testing.assert_array_equal(got_b, payload)
+
+
+def test_verified_fast_falls_back_off_pallas_shapes(rng):
+    """W % 128 != 0 routes to the XLA implementation transparently."""
+    import jax.numpy as jnp
+
+    from stegotpu.ops.qim import extract_frames
+    from stegotpu.ops.verified import embed_frames_verified_fast
+
+    h, w, num_ac = 64, 96, 10
+    cap = (h // 8) * (w // 8) * num_ac
+    payload = rng.integers(0, 2, (2, cap), dtype=np.uint8)
+    frames = rng.integers(60, 196, (2, h, w), dtype=np.uint8)
+    stego, _, residual = embed_frames_verified_fast(
+        frames, payload, jnp.int32(2 * cap), jnp.float32(20.0), num_ac)
+    assert int(residual) == 0
+    got = np.asarray(extract_frames(stego, jnp.float32(20.0), num_ac))
+    np.testing.assert_array_equal(got, payload)

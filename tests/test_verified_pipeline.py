@@ -53,3 +53,44 @@ def test_black_cover_plain_fails_verified_succeeds(tmp_path, rng, black_cover):
     assert ext_v.success, ext_v.error
     assert ext_v.hash_ok
     np.testing.assert_array_equal(ext_v.pixels, load_image_gray(secret))
+
+
+def test_residual_fails_embed_unless_allowed(tmp_path, rng):
+    """An unrepairable cover (checkerboard at max dynamic range: pre-clip
+    block range > 255, no DC shift can help) must FAIL the embed with the
+    residual surfaced — unless allow_residual opts into the reference's
+    silent-loss behavior."""
+    import cv2
+
+    from stegotpu import crypto, fixtures
+    from stegotpu.config import StegoConfig
+    from stegotpu.pipeline import embed_image_in_video
+
+    # checkerboard cover: every block's pre-clip range far exceeds 255
+    h, w = 64, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    checker = ((yy + xx) % 2 * 255).astype(np.uint8)
+    vw = cv2.VideoWriter(str(tmp_path / "c.avi"),
+                         cv2.VideoWriter_fourcc(*"FFV1"), 24.0, (w, h), True)
+    for _ in range(60):
+        vw.write(np.repeat(checker[..., None], 3, axis=-1))
+    vw.release()
+    fixtures.make_secret_image(tmp_path / "s.png", 24, 24, kind="noise", seed=5)
+    _, pub_c = crypto.setup_receiver_keys(tmp_path / "k.pem", tmp_path / "p.pem")
+
+    res = embed_image_in_video(
+        tmp_path / "c.avi", tmp_path / "s.png", tmp_path / "st", pub_c,
+        StegoConfig(delta=20, num_ac_coeffs=10, verified_embed=True),
+        rng=np.random.default_rng(11),  # deterministic crypto stream
+    )
+    assert not res.success
+    assert res.residual_bits > 0
+
+    res2 = embed_image_in_video(
+        tmp_path / "c.avi", tmp_path / "s.png", tmp_path / "st2", pub_c,
+        StegoConfig(delta=20, num_ac_coeffs=10, verified_embed=True,
+                    allow_residual=True),
+        rng=np.random.default_rng(11),
+    )
+    assert res2.success
+    assert res2.residual_bits == res.residual_bits > 0
