@@ -114,6 +114,7 @@ class ExtractResult:
     parts: PayloadParts | None = None
     error: str | None = None
     output_path: str | None = None
+    frames_read: int = 0  # stego frames actually decoded (incl. speculative)
 
     @property
     def is_raw_data(self) -> bool:
@@ -249,7 +250,7 @@ def _embed_payload(
         # alongside BGR during decode (C++, on the prefetch thread) — the old
         # host-side gray_convert stage is gone from the hot loop entirely.
         with VideoWriter(out_path, reader.info.fps, w8, h8, config.codec) as writer, \
-                Prefetcher(reader.batches(batch_frames, mode="both")) as prefetched:
+                Prefetcher.maybe(reader.batches(batch_frames, mode="both")) as prefetched:
             for batch_bgr, gray in _timed_iter(prefetched, timer, "decode_wait"):
                 n = batch_bgr.shape[0]
                 if cursor < total:
@@ -368,6 +369,7 @@ def extract_image_from_video(
 
         collected: list[np.ndarray] = []
         collected_bits = 0
+        frames_read = 0
         needed = payload_mod.FIXED_HEADER_BITS  # lower bound, grows as parsed
         parts = None
         parse_error: str | None = None
@@ -403,9 +405,10 @@ def extract_image_from_video(
         try:
             # mode='gray': the native decoder converts to gray in C++ during
             # decode; the 3x-larger BGR plane never reaches the host arrays.
-            with Prefetcher(reader.batches(batch_frames, mode="gray")) as prefetched:
+            with Prefetcher.maybe(reader.batches(batch_frames, mode="gray")) as prefetched:
                 for gray in _timed_iter(prefetched, timer, "decode_wait"):
                     n = gray.shape[0]
+                    frames_read += n
                     if n < batch_frames:
                         gray = np.concatenate(
                             [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
@@ -421,13 +424,16 @@ def extract_image_from_video(
                     ingest(pending)
         except OSError as e:
             # corrupt/truncated container mid-stream: structured failure
-            return ExtractResult(False, error=f"video read failed: {e}")
+            return ExtractResult(False, error=f"video read failed: {e}",
+                                 frames_read=frames_read)
         if parse_error is not None:
-            return ExtractResult(False, error=parse_error)
+            return ExtractResult(False, error=parse_error,
+                                 frames_read=frames_read)
         if parts is None:
             return ExtractResult(
                 False,
                 error=f"video ended before payload complete ({collected_bits} bits read)",
+                frames_read=frames_read,
             )
 
     try:
@@ -438,9 +444,12 @@ def extract_image_from_video(
         # error contract rather than leaking an exception
         return ExtractResult(False, parts=parts,
                              error=f"payload fields invalid ({e}) — wrong "
-                                   "delta/coeffs or not a stego video")
+                                   "delta/coeffs or not a stego video",
+                             frames_read=frames_read)
     if plaintext is None:
-        return ExtractResult(False, parts=parts, error="AES-GCM authentication failed")
+        return ExtractResult(False, parts=parts,
+                             error="AES-GCM authentication failed",
+                             frames_read=frames_read)
     if not hash_ok:
         log.warning("SHA3-256 mismatch: image may be corrupt (continuing, like reference)")
 
@@ -450,21 +459,23 @@ def extract_image_from_video(
             Path(output_image).write_bytes(plaintext)
             out_path = str(output_image)
         return ExtractResult(True, data=plaintext, hash_ok=hash_ok,
-                             parts=parts, output_path=out_path)
+                             parts=parts, output_path=out_path,
+                             frames_read=frames_read)
 
     try:
         pixels = image_codec.bytes_to_pixels(
             plaintext, parts.secret_width, parts.secret_height
         )
     except ValueError as e:
-        return ExtractResult(False, parts=parts, hash_ok=hash_ok, error=str(e))
+        return ExtractResult(False, parts=parts, hash_ok=hash_ok, error=str(e),
+                             frames_read=frames_read)
 
     out_path = None
     if output_image is not None:
         image_codec.save_image_gray(pixels, output_image)
         out_path = str(output_image)
     return ExtractResult(True, pixels=pixels, hash_ok=hash_ok, parts=parts,
-                         output_path=out_path)
+                         output_path=out_path, frames_read=frames_read)
 
 
 # Array-level API (no container round-trip) -----------------------------------

@@ -245,6 +245,33 @@ class VideoWriter:
         self.release()
 
 
+class _PassthroughPrefetcher:
+    """Prefetcher-shaped wrapper that iterates inline (no worker thread).
+
+    Used on single-core hosts where decode/compute overlap is physically
+    impossible and a background thread only adds scheduler + cache thrash
+    (measured: ~14% e2e loss at 1080p, benchmarks/e2e_product.py).
+    """
+
+    def __init__(self, iterator: Iterator):
+        self._it = iter(iterator)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return next(self._it)
+
+    def close(self) -> None:
+        self._it = iter(())
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 class Prefetcher:
     """Background-thread iterator: overlaps host decode with device compute.
 
@@ -255,7 +282,18 @@ class Prefetcher:
     video source is released: the worker thread holds a live reference into
     the decoder, and releasing the capture under it is a use-after-free.
     Use as a context manager to guarantee this.
+
+    Use `Prefetcher.maybe(...)` in pipelines: it returns an inline
+    passthrough on single-core hosts, where the thread can't overlap
+    anything and measurably slows the codec down.
     """
+
+    @staticmethod
+    def maybe(iterator: Iterator, depth: int = 2):
+        """Prefetcher when overlap can help, inline passthrough when not."""
+        if (os.cpu_count() or 1) <= 1:
+            return _PassthroughPrefetcher(iterator)
+        return Prefetcher(iterator, depth)
 
     _DONE = object()
 

@@ -96,3 +96,31 @@ def test_extract_from_truncated_stego_fails_closed(tmp_path):
         out = extract_image_from_video(cut, priv, cfg)
         assert not out.success
         assert out.error
+
+
+def test_prefetcher_maybe_single_core(monkeypatch):
+    """On a 1-core host maybe() returns the inline passthrough (a worker
+    thread cannot overlap anything there and measurably slows the codec);
+    on multi-core it returns a real Prefetcher."""
+    import os
+
+    from stegotpu.video import _PassthroughPrefetcher
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 1)
+    with Prefetcher.maybe(iter(range(5))) as p:
+        assert isinstance(p, _PassthroughPrefetcher)
+        assert list(p) == list(range(5))
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 8)
+    with Prefetcher.maybe(iter(range(5))) as p:
+        assert isinstance(p, Prefetcher)
+        assert list(p) == list(range(5))
+
+
+def test_passthrough_prefetcher_close_mid_iteration():
+    from stegotpu.video import _PassthroughPrefetcher
+
+    p = _PassthroughPrefetcher(iter(range(10)))
+    assert next(p) == 0
+    p.close()
+    assert list(p) == []
