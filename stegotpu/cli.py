@@ -163,9 +163,15 @@ def cmd_embed_batch(args) -> int:
 
     jit compiles once per cover resolution and is reused across files —
     the production fan-out shape (the per-process compile cost amortizes
-    over the whole batch instead of being paid per invocation).
+    over the whole batch instead of being paid per invocation). With
+    --jobs > 1 files overlap: while one file's FFV1 encode drains,
+    the next file's decode is already running (the per-file pipelines
+    release the GIL inside FFmpeg and XLA, so threads genuinely overlap
+    on multi-core hosts; single-core hosts default to --jobs 1).
     """
+    import os
     import time
+    from concurrent.futures import ThreadPoolExecutor
 
     from stegotpu.pipeline import embed_image_in_video
 
@@ -180,27 +186,35 @@ def cmd_embed_batch(args) -> int:
               f"other's output: {sorted(dupes)} — rename or run separately",
               file=sys.stderr)
         return 1
+    jobs = args.jobs if args.jobs else (2 if (os.cpu_count() or 1) > 1 else 1)
     failures = 0
     t0 = time.perf_counter()
     frames_total = 0
-    for cover in args.covers:
+
+    def one(cover):
         out = out_dir / (Path(cover).stem + ".avi")
-        try:
-            res = embed_image_in_video(cover, args.secret, out, pub, cfg,
-                                       batch_frames=args.batch)
-        except (OSError, ValueError) as e:
-            print(f"{cover}: FAILED ({e})", file=sys.stderr)
-            failures += 1
-            continue
-        if not res.success:
-            print(f"{cover}: FAILED ({res.bits_embedded}/"
-                  f"{res.total_payload_bits} bits before video ended)",
-                  file=sys.stderr)
-            failures += 1
-            continue
-        frames_total += res.frames_used
-        print(f"{cover}: -> {res.output_path} ({res.total_payload_bits} bits, "
-              f"{res.frames_used} frames)")
+        return embed_image_in_video(cover, args.secret, out, pub, cfg,
+                                    batch_frames=args.batch)
+
+    with ThreadPoolExecutor(max_workers=max(1, jobs)) as pool:
+        futures = [(c, pool.submit(one, c)) for c in args.covers]
+        # results print in input order regardless of completion order
+        for cover, fut in futures:
+            try:
+                res = fut.result()
+            except (OSError, ValueError) as e:
+                print(f"{cover}: FAILED ({e})", file=sys.stderr)
+                failures += 1
+                continue
+            if not res.success:
+                print(f"{cover}: FAILED ({res.bits_embedded}/"
+                      f"{res.total_payload_bits} bits before video ended)",
+                      file=sys.stderr)
+                failures += 1
+                continue
+            frames_total += res.frames_used
+            print(f"{cover}: -> {res.output_path} ({res.total_payload_bits} "
+                  f"bits, {res.frames_used} frames)")
     dt = time.perf_counter() - t0
     n_ok = len(args.covers) - failures
     print(f"batch done: {n_ok}/{len(args.covers)} covers embedded, "
@@ -473,6 +487,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="output directory (stego named <cover-stem>.avi)")
     eb.add_argument("--public-key", default="bob_public_key.pem")
     eb.add_argument("--batch", type=int, default=8)
+    eb.add_argument("--jobs", type=int, default=0,
+                    help="files processed concurrently (0 = auto: 2 on "
+                         "multi-core hosts, 1 on single-core)")
     _add_qim_flags(eb)
     _add_codec_flag(eb)
     eb.set_defaults(fn=cmd_embed_batch)

@@ -18,6 +18,7 @@ Fixes vs the reference (not reproduced, per SURVEY.md §6):
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 import tkinter as tk
@@ -25,6 +26,28 @@ from tkinter import filedialog, messagebox, scrolledtext, ttk
 
 from stegotpu import crypto
 from stegotpu.config import StegoConfig
+
+
+class QueueLogHandler(logging.Handler):
+    """Streams pipeline log records into the GUI queue (thread-safe).
+
+    Reference parity with app.py:38-52's StdoutRedirector — every pipeline
+    log line (including per-batch progress at DEBUG) appears live in the
+    GUI log — but via the logging system and the Tk-safe queue instead of
+    hijacking global stdout from a worker thread.
+    """
+
+    _TAGS = {logging.DEBUG: "INFO", logging.INFO: "INFO",
+             logging.WARNING: "RUN", logging.ERROR: "ERR"}
+
+    def __init__(self, q: queue.Queue):
+        super().__init__(level=logging.DEBUG)
+        self._q = q
+
+    def emit(self, record: logging.LogRecord) -> None:
+        tag = self._TAGS.get(record.levelno, "ERR" if
+                             record.levelno >= logging.ERROR else "INFO")
+        self._q.put(("log", self.format(record), tag))
 
 
 class StegoApp:
@@ -35,6 +58,16 @@ class StegoApp:
         self.mode = tk.StringVar(value="embed")
         self.delta = tk.IntVar(value=20)
         self.coeffs = tk.IntVar(value=10)
+        self.kernel = tk.StringVar(value="auto")
+        self.codec = tk.StringVar(value="FFV1")
+        self.verified = tk.BooleanVar(value=False)
+        # live pipeline log: every stegotpu log record (incl. per-batch
+        # DEBUG progress) streams into the GUI through the queue
+        logger = logging.getLogger("stegotpu")
+        logger.addHandler(QueueLogHandler(self._q))
+        if logger.level in (logging.NOTSET, logging.WARNING) or \
+                logger.level > logging.DEBUG:
+            logger.setLevel(logging.DEBUG)
         self.paths = {
             "cover": tk.StringVar(),
             "secret": tk.StringVar(),
@@ -68,6 +101,16 @@ class StegoApp:
         ttk.Label(params, text="AC coeffs [1,63]:").pack(side="left")
         ttk.Spinbox(params, from_=1, to=63, textvariable=self.coeffs,
                     width=5).pack(side="left", padx=4)
+        ttk.Label(params, text="kernel:").pack(side="left", padx=(8, 0))
+        ttk.Combobox(params, textvariable=self.kernel, width=7,
+                     state="readonly",
+                     values=("auto", "xla", "pallas")).pack(side="left", padx=4)
+        ttk.Label(params, text="codec:").pack(side="left")
+        ttk.Combobox(params, textvariable=self.codec, width=6,
+                     state="readonly",
+                     values=("FFV1", "HFYU")).pack(side="left", padx=4)
+        ttk.Checkbutton(params, text="verified (BER=0)",
+                        variable=self.verified).pack(side="left", padx=4)
         self.run_btn = ttk.Button(params, text="Run", command=self._run)
         self.run_btn.pack(side="right")
 
@@ -190,7 +233,10 @@ class StegoApp:
         return wrapped
 
     def _config(self) -> StegoConfig:
-        return StegoConfig(delta=self.delta.get(), num_ac_coeffs=self.coeffs.get())
+        return StegoConfig(delta=self.delta.get(),
+                           num_ac_coeffs=self.coeffs.get(),
+                           kernel=self.kernel.get(), codec=self.codec.get(),
+                           verified_embed=self.verified.get())
 
     def _do_genkey(self) -> None:
         # overwrite was already confirmed on the main thread (_run)
@@ -217,9 +263,14 @@ class StegoApp:
             self.paths["stego_out"].get(), pub, self._config(),
         )
         if not res.success:
-            self._log(
-                f"EMBED FAILED: {res.bits_embedded}/{res.total_payload_bits} "
-                "bits before video ended", "ERR")
+            if res.residual_bits:
+                self._log(
+                    f"EMBED FAILED: {res.residual_bits} unrepairable payload "
+                    "bits after verified repair (saturated cover)", "ERR")
+            else:
+                self._log(
+                    f"EMBED FAILED: {res.bits_embedded}/{res.total_payload_bits} "
+                    "bits before video ended", "ERR")
             return
         self._log(f"embedded {res.total_payload_bits} bits -> {res.output_path}", "OK")
         psnr = res.first_frame_psnr

@@ -295,6 +295,10 @@ def _embed_payload(
                     pending = (batch_bgr, gray, n, bpf, stego_dev,
                                frames_seen == 0 and n > 0)
                     cursor += int(bpf.sum())
+                    # live progress (reference: per-frame prints,
+                    # embed_process.py:129 — streamed into the GUI log)
+                    log.debug("embed progress: %d/%d bits, frame %d",
+                              min(cursor, total), total, frames_seen + n)
                 else:
                     # Payload complete: stream remaining frames as original
                     # color (reference: embed_process.py:134-139) — but only
@@ -415,6 +419,8 @@ def extract_image_from_video(
                         )
                     with _stage(timer, "device_dispatch"):
                         dev = run_extract(gray)
+                    log.debug("extract progress: %d bits collected, frame %d",
+                              collected_bits, frames_read)
                     done = pending is not None and ingest(pending)
                     pending = (n, dev)
                     if done:

@@ -101,3 +101,37 @@ def test_cli_embed_batch_many_covers(tmp_path, monkeypatch, capsys):
         "--out-dir", "out3",
     ]) == 1
     assert "overwrite" in capsys.readouterr().err
+
+
+def test_cli_embed_batch_jobs_overlap(tmp_path, monkeypatch, capsys):
+    """--jobs 2 overlaps files across threads; results stay in input order
+    and every output decodes correctly."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["genkey"]) == 0
+    from stegotpu import fixtures
+
+    fixtures.make_secret_image("secret.png", 16, 16, kind="pattern")
+    for i in range(4):
+        fixtures.make_cover_video(f"cover{i}.mp4", 320, 240, frames=4,
+                                  kind="moving", seed=i)
+    assert main([
+        "embed-batch", "secret.png", "cover0.mp4", "cover1.mp4",
+        "cover2.mp4", "cover3.mp4", "--out-dir", "out", "--batch", "4",
+        "--jobs", "2",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "batch done: 4/4" in out
+    # input order preserved in the report
+    lines = [line for line in out.splitlines() if line.startswith("cover")]
+    assert [line.split(":")[0] for line in lines] == [
+        f"cover{i}.mp4" for i in range(4)]
+
+    from stegotpu.config import StegoConfig
+    from stegotpu.crypto import load_private_pem
+    from stegotpu.pipeline import extract_image_from_video
+
+    priv = load_private_pem("bob_private_key.pem")
+    for i in range(4):
+        res = extract_image_from_video(f"out/cover{i}.avi", priv, StegoConfig())
+        assert res.success and res.hash_ok
+        np.testing.assert_array_equal(res.pixels, load_image_gray("secret.png"))

@@ -146,3 +146,32 @@ def test_gui_worker_extract_failure_is_logged_not_raised(tmp_path):
     assert any(m[2] == "ERR" and "EXTRACT FAILED" in m[1]
                for m in msgs if m[0] == "log")
     assert not [m for m in msgs if m[0] == "preview"]
+
+
+def test_queue_log_handler_streams_pipeline_records():
+    """Pipeline log records (incl. per-batch DEBUG progress) flow into the
+    GUI queue with level-mapped tags — the live-log parity with the
+    reference's StdoutRedirector (app.py:38-52), headless."""
+    import logging
+    import queue
+
+    from stegotpu.gui import QueueLogHandler
+
+    q = queue.Queue()
+    h = QueueLogHandler(q)
+    h.setFormatter(logging.Formatter("%(message)s"))
+    logger = logging.getLogger("stegotpu.test_queue_handler")
+    logger.setLevel(logging.DEBUG)
+    logger.addHandler(h)
+    try:
+        logger.debug("embed progress: 100/200 bits, frame 8")
+        logger.warning("video ended early")
+        logger.error("boom")
+    finally:
+        logger.removeHandler(h)
+
+    got = [q.get_nowait() for _ in range(3)]
+    assert got[0] == ("log", "embed progress: 100/200 bits, frame 8", "INFO")
+    assert got[1] == ("log", "video ended early", "RUN")
+    assert got[2] == ("log", "boom", "ERR")
+    assert q.empty()
