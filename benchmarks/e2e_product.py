@@ -57,7 +57,7 @@ def main() -> None:
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--codecs", default="FFV1,HFYU")
+    ap.add_argument("--codecs", default="FFV1,HFYU,RGBA")
     args = ap.parse_args()
     _force_platform(args.platform)
 
@@ -167,7 +167,7 @@ def main() -> None:
         for i in range(0, N, B)
     ])
     for codec in codecs:
-        native = {"FFV1": "ffv1", "HFYU": "huffyuv"}[codec]
+        native = {"FFV1": "ffv1", "HFYU": "huffyuv", "RGBA": "rawvideo"}[codec]
         for content, data in (("clean", frames), ("stego", stego_frames)):
             def m(native=native, data=data, codec=codec, content=content):
                 t0 = time.perf_counter()
@@ -182,6 +182,9 @@ def main() -> None:
     ncores = os.cpu_count() or 1
     emit({"phase": "stage_rates_fps", "host_cores": ncores,
           "platform": jax.default_backend(), **stage})
+
+    def _glue_pct(wall: float, timer) -> float:
+        return round(max(0.0, wall - sum(timer.totals.values())) / wall * 100, 1)
 
     def ideals(stages_fps: list[float]) -> tuple[float, float]:
         serial = 1.0 / sum(1.0 / s for s in stages_fps)
@@ -225,6 +228,10 @@ def main() -> None:
                 "frames": N, "payload_bits": res.total_payload_bits,
                 "ideal_serial_fps": serial, "ideal_overlap_fps": overlap,
                 "efficiency_vs_ideal": round(fps / ideal, 3),
+                # noise-robust within-run view: wall time not attributable
+                # to any stage = pure pipeline glue (the cross-run ideal is
+                # subject to noisy-neighbor drift between measurements)
+                "unattributed_overhead_pct": _glue_pct(best_dt, timer),
                 "bottleneck_stage": bottleneck,
                 "stage_totals_s": {k: round(v, 3) for k, v in timer.totals.items()},
             })
@@ -251,6 +258,7 @@ def main() -> None:
             "frames_read": frames_read,
             "ideal_serial_fps": serial, "ideal_overlap_fps": overlap,
             "efficiency_vs_ideal": round(fps / ideal, 3),
+            "unattributed_overhead_pct": _glue_pct(best_dt, timer),
             "bottleneck_stage": bottleneck,
             "stage_totals_s": {k: round(v, 3) for k, v in timer.totals.items()},
         })

@@ -374,9 +374,11 @@ void* svx_writer_open(const char* path, int width, int height, double fps,
     destroy_writer(w);
     return nullptr;
   }
-  // lossless packed-RGB pixel format per codec (BGR24 survives exactly)
-  AVPixelFormat pix = codec->id == AV_CODEC_ID_FFV1 ? AV_PIX_FMT_BGR0
-                                                    : AV_PIX_FMT_RGB24;
+  // lossless packed-RGB pixel format per codec (BGR24 survives exactly);
+  // rawvideo stores BGR24 directly (no entropy coding — the memcpy codec)
+  AVPixelFormat pix = codec->id == AV_CODEC_ID_FFV1      ? AV_PIX_FMT_BGR0
+                      : codec->id == AV_CODEC_ID_RAWVIDEO ? AV_PIX_FMT_BGR24
+                                                          : AV_PIX_FMT_RGB24;
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   if (hw < 1) hw = 1;
   int n = workers > 0 ? workers : std::min(hw, 8);

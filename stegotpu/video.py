@@ -172,11 +172,11 @@ class VideoWriter:
     """Lossless stego video writer (FFV1 in .avi by default).
 
     Native FFmpeg backend (frame-parallel encoder-lane pool, batched C
-    calls) when available for FFV1 and HuffYUV; cv2 otherwise (e.g. RGBA
-    raw).
+    calls) when available for FFV1, HuffYUV, and raw BGR (RGBA); cv2
+    otherwise.
     """
 
-    _NATIVE_CODECS = {"FFV1": "ffv1", "HFYU": "huffyuv"}
+    _NATIVE_CODECS = {"FFV1": "ffv1", "HFYU": "huffyuv", "RGBA": "rawvideo"}
 
     def __init__(
         self,

@@ -187,3 +187,25 @@ def test_native_write_gray_shape_guard(rng, tmp_path):
         with pytest.raises(ValueError):
             w.write_gray(gray)
         w.write_gray(rng.integers(0, 256, (64, 96), dtype=np.uint8))  # 2-D ok
+
+
+def test_native_rawvideo_pool_lossless_and_cv2_decodable(rng, tmp_path):
+    """rawvideo (the --codec RGBA path) through the native encoder pool:
+    stored BGR24 verbatim, decodable by both readers."""
+    frames = _frames(rng, n=9)
+    path = str(tmp_path / "raw.avi")
+    with videoio.NativeVideoWriter(path, 96, 64, 24.0, workers=2,
+                                   codec="rawvideo") as w:
+        w.write(frames[:5])
+        w.write(frames[5:])
+    with videoio.NativeVideoReader(path) as r:
+        np.testing.assert_array_equal(r.read_batch(16, 64, 96), frames)
+    cap = cv2.VideoCapture(path)
+    got = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        got.append(f)
+    cap.release()
+    np.testing.assert_array_equal(np.stack(got), frames)
