@@ -93,6 +93,22 @@ def _report_timer(timer) -> None:
 def cmd_embed(args) -> int:
     from stegotpu.pipeline import embed_image_in_video
 
+    if getattr(args, "auto_fixtures", False):
+        # reference parity (opt-in): missing inputs are generated, matching
+        # the reference designs (config_and_setup.py:219-238, documented as
+        # a feature in its README.md:134-137). Opt-in because silently
+        # embedding a dummy where the user mistyped a path is a footgun.
+        from stegotpu import fixtures
+
+        if not Path(args.cover).exists():
+            fixtures.make_cover_video(args.cover, 640, 480, frames=120,
+                                      fps=24.0, kind="noise")
+            print(f"auto-fixtures: generated dummy cover '{args.cover}' "
+                  "(640x480, 120 frames, noise)")
+        if not Path(args.secret).exists():
+            fixtures.make_secret_image(args.secret, 32, 32, kind="gray")
+            print(f"auto-fixtures: generated dummy secret '{args.secret}' "
+                  "(32x32 light gray)")
     pub = crypto.serialize_public_compressed(crypto.load_public_pem(args.public_key))
     timer = _make_timer(args)
     res = embed_image_in_video(
@@ -472,6 +488,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--allow-residual", action="store_true",
                    help="with --verified: emit the stego even if unrepairable "
                         "bits remain (default: fail the embed)")
+    e.add_argument("--auto-fixtures", action="store_true",
+                   help="generate reference-style dummy inputs for missing "
+                        "cover/secret paths (reference README parity)")
     e.add_argument("--timing", action="store_true",
                    help="print decode/device/encode stage timing to stderr")
     _add_qim_flags(e)

@@ -135,3 +135,24 @@ def test_cli_embed_batch_jobs_overlap(tmp_path, monkeypatch, capsys):
         res = extract_image_from_video(f"out/cover{i}.avi", priv, StegoConfig())
         assert res.success and res.hash_ok
         np.testing.assert_array_equal(res.pixels, load_image_gray("secret.png"))
+
+
+def test_cli_embed_auto_fixtures(tmp_path, monkeypatch, capsys):
+    """--auto-fixtures generates reference-style dummies for missing inputs
+    (reference: config_and_setup.py:219-238, README.md:134-137) and the
+    result extracts pixel-identically; without the flag, missing paths
+    still fail."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["genkey"]) == 0
+    capsys.readouterr()
+    assert main(["embed", "media/cover.mp4", "media/secret.png", "stego",
+                 "--auto-fixtures"]) == 0
+    out = capsys.readouterr().out
+    assert "auto-fixtures: generated dummy cover" in out
+    assert "auto-fixtures: generated dummy secret" in out
+    assert main(["extract", "stego.avi", "x.png"]) == 0
+    np.testing.assert_array_equal(
+        load_image_gray("x.png"), load_image_gray("media/secret.png"))
+
+    # without the flag the missing path is an error, not a dummy
+    assert main(["embed", "missing2.mp4", "missing2.png", "s2"]) == 1
