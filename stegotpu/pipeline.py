@@ -177,8 +177,6 @@ def _embed_payload(
 ) -> EmbedResult:
     if config.delta <= 0:
         raise ValueError("embedding requires delta > 0 (delta <= 0 embeds nothing)")
-    if mesh is not None and config.verified_embed:
-        raise ValueError("verified embed does not compose with a device mesh yet")
     all_bits, _parts = payload_mod.seal_payload(
         plaintext, width, height, receiver_pub_compressed, config.dims_bits,
         rng=rng,
@@ -194,16 +192,49 @@ def _embed_payload(
             return EmbedResult(False, None, total, 0, 0)
         delta = jnp.float32(config.delta)
 
+        run_embed = run_embed_verified = None
         if mesh is not None:
-            from stegotpu.parallel.mesh import sharded_embed_frames
+            from stegotpu.parallel.mesh import (
+                sharded_embed_frames,
+                sharded_roundtrip_step,
+            )
 
             batch_frames, kern = _mesh_setup(mesh, config, h8, w8, batch_frames)
-            sharded = sharded_embed_frames(mesh, config.num_ac_coeffs,
-                                           kernel=kern)
+            if config.verified_embed:
+                # sharded analogue of embed_frames_verified_fast: the fused
+                # sharded step already re-extracts and psums the error count;
+                # the (rare) repair branch reruns the batch through the
+                # proven XLA closed loop
+                from stegotpu.ops.verified import embed_frames_verified
 
-            def run_embed(gray, seg, remaining):
-                return sharded(jnp.asarray(gray), jnp.asarray(seg),
-                               jnp.int32(remaining), delta)
+                step = sharded_roundtrip_step(mesh, config.num_ac_coeffs,
+                                              kernel=kern)
+
+                def run_embed_verified(gray, seg, remaining):
+                    stego, bpf, _bits, errors = step(
+                        jnp.asarray(gray), jnp.asarray(seg),
+                        jnp.int32(remaining), delta)
+                    if int(errors) == 0:
+                        return stego, bpf, jnp.int32(0)
+                    return embed_frames_verified(
+                        jnp.asarray(gray), jnp.asarray(seg),
+                        jnp.int32(remaining), delta, config.num_ac_coeffs,
+                        repair_rounds=config.repair_rounds)
+            else:
+                sharded = sharded_embed_frames(mesh, config.num_ac_coeffs,
+                                               kernel=kern)
+
+                def run_embed(gray, seg, remaining):
+                    return sharded(jnp.asarray(gray), jnp.asarray(seg),
+                                   jnp.int32(remaining), delta)
+        elif config.verified_embed:
+            from stegotpu.ops.verified import embed_frames_verified_fast
+
+            def run_embed_verified(gray, seg, remaining):
+                return embed_frames_verified_fast(
+                    jnp.asarray(gray), jnp.asarray(seg), jnp.int32(remaining),
+                    delta, config.num_ac_coeffs,
+                    repair_rounds=config.repair_rounds, kernel=config.kernel)
         else:
             def run_embed(gray, seg, remaining):
                 return embed_fn(config.kernel, h8, w8)(
@@ -264,17 +295,9 @@ def _embed_payload(
                         batch_frames * cap_bits,
                     ).reshape(batch_frames, cap_bits)
                     if config.verified_embed:
-                        from stegotpu.ops.verified import (
-                            embed_frames_verified_fast,
-                        )
-
                         with _stage(timer, "device_dispatch"):
-                            stego_dev, _bpf_dev, residual = embed_frames_verified_fast(
-                                jnp.asarray(gray), jnp.asarray(seg),
-                                jnp.int32(remaining), delta, config.num_ac_coeffs,
-                                repair_rounds=config.repair_rounds,
-                                kernel=config.kernel,
-                            )
+                            stego_dev, _bpf_dev, residual = run_embed_verified(
+                                gray, seg, remaining)
                         if int(residual):
                             residual_total += int(residual)
                             log.error(

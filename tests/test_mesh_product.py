@@ -82,16 +82,43 @@ def test_mesh_rejects_bad_space_split(tmp_path):
                              mesh=make_mesh(2, 2))
 
 
-def test_mesh_rejects_verified(tmp_path):
-    fixtures.make_secret_image(tmp_path / "s.png", 16, 16, kind="noise", seed=1)
-    fixtures.make_cover_video(tmp_path / "c.mp4", 128, 64, frames=4,
+def test_mesh_verified_composes(tmp_path):
+    """--verified now composes with the mesh: the fused sharded step's
+    psum'd error count gates the repair branch. Mid-range cover: fast
+    branch, extract OK. Black cover: repair branch fires, still BER=0."""
+    import cv2
+
+    fixtures.make_secret_image(tmp_path / "s.png", 24, 24, kind="noise", seed=1)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 128, 64, frames=8,
                               kind="noise", seed=2)
-    _, pub_c = crypto.setup_receiver_keys(tmp_path / "k.pem", tmp_path / "p.pem")
-    with pytest.raises(ValueError, match="mesh"):
-        embed_image_in_video(tmp_path / "c.mp4", tmp_path / "s.png",
-                             tmp_path / "st", pub_c,
-                             StegoConfig(verified_embed=True),
-                             mesh=make_mesh(2, 1))
+    priv, pub_c = crypto.setup_receiver_keys(tmp_path / "k.pem", tmp_path / "p.pem")
+    cfg = StegoConfig(verified_embed=True)
+    mesh = make_mesh(2, 2)
+
+    res = embed_image_in_video(tmp_path / "c.mp4", tmp_path / "s.png",
+                               tmp_path / "st", pub_c, cfg, batch_frames=4,
+                               mesh=mesh)
+    assert res.success and res.residual_bits == 0
+    ext = extract_image_from_video(res.output_path, priv, cfg, mesh=mesh,
+                                   batch_frames=4)
+    assert ext.success and ext.hash_ok
+    assert np.array_equal(ext.pixels, load_image_gray(tmp_path / "s.png"))
+
+    # flat-black cover: the plain sharded embed would lose bits to clipping;
+    # the verified repair branch must recover them
+    vw = cv2.VideoWriter(str(tmp_path / "black.avi"),
+                         cv2.VideoWriter_fourcc(*"FFV1"), 24.0, (128, 64), True)
+    for _ in range(8):
+        vw.write(np.zeros((64, 128, 3), np.uint8))
+    vw.release()
+    res_b = embed_image_in_video(tmp_path / "black.avi", tmp_path / "s.png",
+                                 tmp_path / "stb", pub_c, cfg, batch_frames=4,
+                                 mesh=mesh)
+    assert res_b.success and res_b.residual_bits == 0
+    ext_b = extract_image_from_video(res_b.output_path, priv, cfg,
+                                     batch_frames=4)
+    assert ext_b.success and ext_b.hash_ok
+    assert np.array_equal(ext_b.pixels, load_image_gray(tmp_path / "s.png"))
 
 
 def test_cli_selftest_mesh(tmp_path):
