@@ -156,6 +156,71 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_extract_batch(args) -> int:
+    """Extract from MANY stego videos in one warm process (embed-batch's
+    inverse): jit compiles once per resolution; --jobs overlaps files on
+    multi-core hosts. Raw-data payloads write <stem>.bin, images <stem>.png."""
+    import os
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from stegotpu.pipeline import extract_image_from_video
+
+    priv = crypto.load_private_pem(args.private_key)
+    cfg = _config_from_args(args)
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stems = [Path(s).stem for s in args.stegos]
+    dupes = {s for s in stems if stems.count(s) > 1}
+    if dupes:
+        print("error: stego files with the same filename would overwrite "
+              f"each other's output: {sorted(dupes)} — rename or run "
+              "separately", file=sys.stderr)
+        return 1
+    jobs = args.jobs if args.jobs else (2 if (os.cpu_count() or 1) > 1 else 1)
+    failures = 0
+    t0 = time.perf_counter()
+
+    def one(stego):
+        # image payloads save through output_image; raw-data payloads are
+        # written from the result below (extension needs the parse first)
+        return extract_image_from_video(stego, priv, cfg,
+                                        batch_frames=args.batch)
+
+    with ThreadPoolExecutor(max_workers=max(1, jobs)) as pool:
+        futures = [(s, pool.submit(one, s)) for s in args.stegos]
+        for stego, fut in futures:
+            try:
+                res = fut.result()
+            except (OSError, ValueError) as e:
+                print(f"{stego}: FAILED ({e})", file=sys.stderr)
+                failures += 1
+                continue
+            if not res.success:
+                print(f"{stego}: FAILED ({res.error})", file=sys.stderr)
+                failures += 1
+                continue
+            if res.is_raw_data:
+                out = out_dir / (Path(stego).stem + ".bin")
+                out.write_bytes(res.data)
+                print(f"{stego}: -> {out} ({len(res.data)} bytes raw"
+                      f"{'' if res.hash_ok else ', SHA3 MISMATCH'})")
+            else:
+                from stegotpu.image import save_image_gray
+
+                out = out_dir / (Path(stego).stem + ".png")
+                save_image_gray(res.pixels, out)
+                print(f"{stego}: -> {out} ({res.parts.secret_width}x"
+                      f"{res.parts.secret_height}"
+                      f"{'' if res.hash_ok else ', SHA3 MISMATCH'})")
+            if not res.hash_ok:
+                failures += 1
+    dt = time.perf_counter() - t0
+    n_ok = len(args.stegos) - failures
+    print(f"batch done: {n_ok}/{len(args.stegos)} extracted in {dt:.2f}s")
+    return 1 if failures else 0
+
+
 def cmd_embed_data(args) -> int:
     from stegotpu.pipeline import embed_data_in_video
 
@@ -512,6 +577,18 @@ def build_parser() -> argparse.ArgumentParser:
     _add_qim_flags(eb)
     _add_codec_flag(eb)
     eb.set_defaults(fn=cmd_embed_batch)
+
+    xb = sub.add_parser("extract-batch",
+                        help="extract from many stego videos (warm jit)")
+    xb.add_argument("stegos", nargs="+", help="stego video paths")
+    xb.add_argument("--out-dir", required=True,
+                    help="output directory (<stego-stem>.png / .bin)")
+    xb.add_argument("--private-key", default="bob_private_key.pem")
+    xb.add_argument("--batch", type=int, default=8)
+    xb.add_argument("--jobs", type=int, default=0,
+                    help="files processed concurrently (0 = auto)")
+    _add_qim_flags(xb)
+    xb.set_defaults(fn=cmd_extract_batch)
 
     ed = sub.add_parser("embed-data",
                         help="embed an arbitrary file's bytes (extension mode)")

@@ -156,3 +156,33 @@ def test_cli_embed_auto_fixtures(tmp_path, monkeypatch, capsys):
 
     # without the flag the missing path is an error, not a dummy
     assert main(["embed", "missing2.mp4", "missing2.png", "s2"]) == 1
+
+
+def test_cli_extract_batch(tmp_path, monkeypatch, capsys):
+    """extract-batch mirrors embed-batch: many stegos -> per-stem outputs,
+    warm jit, overlap via --jobs, failures reported per file."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["genkey"]) == 0
+    from stegotpu import fixtures
+
+    fixtures.make_secret_image("secret.png", 16, 16, kind="pattern")
+    for i in range(3):
+        fixtures.make_cover_video(f"cover{i}.mp4", 320, 240, frames=4,
+                                  kind="moving", seed=i)
+    assert main(["embed-batch", "secret.png", "cover0.mp4", "cover1.mp4",
+                 "cover2.mp4", "--out-dir", "st", "--batch", "4"]) == 0
+    capsys.readouterr()
+
+    assert main(["extract-batch", "st/cover0.avi", "st/cover1.avi",
+                 "st/cover2.avi", "--out-dir", "out", "--jobs", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "batch done: 3/3" in out
+    for i in range(3):
+        np.testing.assert_array_equal(
+            load_image_gray(f"out/cover{i}.png"), load_image_gray("secret.png"))
+
+    # a wrong-delta file fails per-file, good ones still extract
+    assert main(["extract-batch", "st/cover0.avi", "st/cover1.avi",
+                 "--out-dir", "out2", "--delta", "19"]) == 1
+    err = capsys.readouterr().err
+    assert "FAILED" in err
