@@ -221,6 +221,66 @@ def cmd_extract_batch(args) -> int:
     return 1 if failures else 0
 
 
+def _dist_init(args) -> tuple[int, int]:
+    """Join the jax.distributed cluster (before any backend touch)."""
+    from stegotpu.parallel.distributed import initialize
+
+    initialize(args.coordinator, args.num_processes, args.process_id)
+    return args.num_processes, args.process_id
+
+
+def cmd_dist_embed(args) -> int:
+    """One process of a cooperative multi-host embed (run on every host)."""
+    import numpy as np
+
+    _dist_init(args)
+    from stegotpu.parallel.dist_pipeline import distributed_embed
+
+    pub = crypto.serialize_public_compressed(crypto.load_public_pem(args.public_key))
+    rng = np.random.default_rng(args.seed) if args.seed is not None else None
+    res = distributed_embed(args.cover, args.secret, args.output, pub,
+                            _config_from_args(args), batch_frames=args.batch,
+                            rng=rng)
+    if res is None:  # non-zero rank: its segment status was logged
+        return 0
+    if not res.success:
+        print(f"DIST EMBED FAILED: {res.bits_embedded}/"
+              f"{res.total_payload_bits} bits fit in the video",
+              file=sys.stderr)
+        return 1
+    print(f"embedded {res.total_payload_bits} bits into '{res.output_path}' "
+          f"({res.frames_used} frames, {args.num_processes} hosts)")
+    psnr = res.first_frame_psnr
+    if psnr is not None:
+        print(f"first-frame PSNR (original vs stego gray): {psnr:.2f} dB")
+    return 0
+
+
+def cmd_dist_extract(args) -> int:
+    """One process of a cooperative multi-host extract."""
+    _dist_init(args)
+    import jax
+
+    from stegotpu.parallel.dist_pipeline import distributed_extract
+
+    priv = crypto.load_private_pem(args.private_key)
+    res = distributed_extract(args.stego, priv, _config_from_args(args),
+                              args.output, batch_frames=args.batch)
+    if not res.success:
+        print(f"DIST EXTRACT FAILED: {res.error}", file=sys.stderr)
+        return 1
+    if jax.process_index() == 0:
+        if res.is_raw_data:
+            print(f"extracted {len(res.data)} bytes of raw data to "
+                  f"'{res.output_path}'")
+        else:
+            print(f"extracted {res.parts.secret_width}x"
+                  f"{res.parts.secret_height} image to '{res.output_path}'")
+        print("SHA3-256 integrity:",
+              "OK" if res.hash_ok else "MISMATCH (payload may be corrupt)")
+    return 0
+
+
 def cmd_embed_data(args) -> int:
     from stegotpu.pipeline import embed_data_in_video
 
@@ -589,6 +649,37 @@ def build_parser() -> argparse.ArgumentParser:
                     help="files processed concurrently (0 = auto)")
     _add_qim_flags(xb)
     xb.set_defaults(fn=cmd_extract_batch)
+
+    def _add_dist_flags(p):
+        p.add_argument("--coordinator", required=True, metavar="HOST:PORT",
+                       help="jax.distributed coordinator address")
+        p.add_argument("--num-processes", type=int, required=True)
+        p.add_argument("--process-id", type=int, required=True)
+        p.add_argument("--batch", type=int, default=8)
+        _add_qim_flags(p)
+
+    de = sub.add_parser(
+        "dist-embed",
+        help="cooperative multi-host embed (run one process per host)")
+    de.add_argument("cover")
+    de.add_argument("secret")
+    de.add_argument("output")
+    de.add_argument("--public-key", default="bob_public_key.pem")
+    de.add_argument("--seed", type=int, default=None,
+                    help="deterministic crypto stream (tests/demos only — "
+                         "weakens the ephemeral-key security!)")
+    _add_dist_flags(de)
+    _add_codec_flag(de)
+    de.set_defaults(fn=cmd_dist_embed)
+
+    dx = sub.add_parser(
+        "dist-extract",
+        help="cooperative multi-host extract (run one process per host)")
+    dx.add_argument("stego")
+    dx.add_argument("output")
+    dx.add_argument("--private-key", default="bob_private_key.pem")
+    _add_dist_flags(dx)
+    dx.set_defaults(fn=cmd_dist_extract)
 
     ed = sub.add_parser("embed-data",
                         help="embed an arbitrary file's bytes (extension mode)")

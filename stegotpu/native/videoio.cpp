@@ -488,6 +488,103 @@ int svx_writer_write_gray(void* h, const uint8_t* gray, int n) {
   return writer_write_impl(static_cast<Writer*>(h), gray, n, true);
 }
 
+// Concatenate same-codec video segments into one container by PACKET
+// stream-copy — no decode, no re-encode (the multi-host embed path: each
+// host writes its frame-range segment, then one remux stitches them;
+// docs/ARCHITECTURE.md "Multi-host"). All inputs must share codec and
+// dimensions (true for segments produced by svx_writer_open with the same
+// parameters). Returns 0 on success.
+int svx_concat(const char* out_path, const char** inputs, int n_inputs) {
+  if (n_inputs < 1) {
+    set_err("concat needs at least one input");
+    return -1;
+  }
+  AVFormatContext* out = nullptr;
+  if (avformat_alloc_output_context2(&out, nullptr, "avi", out_path) < 0) {
+    set_err("cannot allocate avi muxer");
+    return -1;
+  }
+  AVStream* ostream = nullptr;
+  int64_t pts_off = 0;
+  int rc = 0;
+  AVPacket* pkt = av_packet_alloc();
+
+  for (int i = 0; i < n_inputs && rc == 0; ++i) {
+    AVFormatContext* in = nullptr;
+    if (avformat_open_input(&in, inputs[i], nullptr, nullptr) < 0 ||
+        avformat_find_stream_info(in, nullptr) < 0) {
+      set_err(std::string("cannot open segment: ") + inputs[i]);
+      if (in) avformat_close_input(&in);
+      rc = -1;
+      break;
+    }
+    int vidx = av_find_best_stream(in, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+    if (vidx < 0) {
+      set_err(std::string("no video stream in segment: ") + inputs[i]);
+      avformat_close_input(&in);
+      rc = -1;
+      break;
+    }
+    AVStream* istream = in->streams[vidx];
+    if (!ostream) {
+      ostream = avformat_new_stream(out, nullptr);
+      avcodec_parameters_copy(ostream->codecpar, istream->codecpar);
+      ostream->time_base = istream->time_base;
+      if (!(out->oformat->flags & AVFMT_NOFILE) &&
+          avio_open(&out->pb, out_path, AVIO_FLAG_WRITE) < 0) {
+        set_err(std::string("cannot open output: ") + out_path);
+        avformat_close_input(&in);
+        rc = -1;
+        break;
+      }
+      if (avformat_write_header(out, nullptr) < 0) {
+        set_err("cannot write avi header");
+        avformat_close_input(&in);
+        rc = -1;
+        break;
+      }
+    } else if (istream->codecpar->codec_id != ostream->codecpar->codec_id ||
+               istream->codecpar->width != ostream->codecpar->width ||
+               istream->codecpar->height != ostream->codecpar->height) {
+      set_err(std::string("segment codec/dims mismatch: ") + inputs[i]);
+      avformat_close_input(&in);
+      rc = -1;
+      break;
+    }
+    int64_t seg_frames = 0;
+    while (av_read_frame(in, pkt) >= 0) {
+      if (pkt->stream_index != vidx) {
+        av_packet_unref(pkt);
+        continue;
+      }
+      // our segments are fixed-fps intra-only streams: renumber frames
+      // with a running offset (packet order IS frame order at gop 1)
+      pkt->pts = pkt->dts = pts_off + seg_frames;
+      pkt->duration = 1;
+      pkt->stream_index = 0;
+      pkt->pos = -1;
+      ++seg_frames;
+      if (av_interleaved_write_frame(out, pkt) < 0) {
+        set_err("concat mux write failed");
+        rc = -1;
+        break;
+      }
+    }
+    pts_off += seg_frames;
+    avformat_close_input(&in);
+  }
+  av_packet_free(&pkt);
+  if (ostream && rc == 0 && av_write_trailer(out) < 0) {
+    set_err("cannot write avi trailer");
+    rc = -1;
+  } else if (ostream && rc != 0) {
+    av_write_trailer(out);
+  }
+  if (!(out->oformat->flags & AVFMT_NOFILE) && out->pb) avio_closep(&out->pb);
+  avformat_free_context(out);
+  return rc;
+}
+
 int svx_writer_close(void* h) {
   auto* w = static_cast<Writer*>(h);
   int rc = 0;

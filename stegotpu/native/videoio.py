@@ -62,6 +62,12 @@ def _load():
         ]
         lib.svx_writer_close.restype = ctypes.c_int
         lib.svx_writer_close.argtypes = [ctypes.c_void_p]
+        lib.svx_concat.restype = ctypes.c_int
+        lib.svx_concat.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+        ]
         _lib = lib
     except Exception as e:  # pragma: no cover - environment dependent
         _build_error = str(e)
@@ -222,3 +228,18 @@ class NativeVideoWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def concat_videos(out_path: str | Path, inputs: list[str | Path]) -> None:
+    """Packet-level stream-copy concat of same-codec segments (no decode or
+    re-encode). The multi-host embed path's stitch step: each host writes
+    its frame-range segment; one remux produces the final container."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native video lib unavailable: {_build_error}")
+    Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+    enc = [str(p).encode() for p in inputs]
+    arr = (ctypes.c_char_p * len(enc))(*enc)
+    rc = lib.svx_concat(str(out_path).encode(), arr, len(enc))
+    if rc != 0:
+        raise IOError(lib.svx_last_error().decode())

@@ -1,0 +1,248 @@
+"""Multi-host PRODUCT pipelines: cooperative file->file embed/extract.
+
+Turns `parallel.distributed`'s library into a reachable product path (the
+CLI's `dist-embed` / `dist-extract`). The design follows ARCHITECTURE.md
+"Multi-host": the video splits into contiguous frame-range *segments*, one
+per process; payload bit offsets are statically computable from the frame
+index (capacity per frame is constant), so every host embeds its segment
+independently with `cursor = segment_start * capacity`. The only cross-host
+data is the sealed payload broadcast (host 0's crypto randomness must be
+the one embedded everywhere) and, on extract, the gathered bit stream.
+
+Segments are stitched by PACKET stream-copy (`native.videoio.concat_videos`
+-> svx_concat): no decode or re-encode — the final container's frames are
+byte-for-byte the segment encoders' output.
+
+Decode note: container seek is not part of the native reader's ABI, so a
+host decodes-and-discards frames before its segment (cheap relative to
+encode; a production multi-host deployment shards *inputs* per host as
+ARCHITECTURE.md describes, making the skip moot).
+
+Reference analogue: none — the reference is single-process
+(embed_process.py:108-146 is the whole loop); this is SURVEY §2.5's
+"DCN only for multi-host input sharding" made concrete.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from stegotpu.config import StegoConfig
+from stegotpu.image import bytes_to_pixels, image_to_bits, save_image_gray
+from stegotpu.bitstream import bits_to_bytes
+from stegotpu import payload as payload_mod
+from stegotpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def segment_bounds(frame_count: int, nproc: int, batch_frames: int
+                   ) -> list[tuple[int, int | None]]:
+    """Disjoint frame ranges [(lo, hi), ...] covering the video, one per
+    process: equal shares rounded UP to batch_frames so every interior cut
+    lands on a batch boundary; the last segment runs to EOF (hi=None)."""
+    if frame_count <= 0:
+        raise ValueError("cannot segment a video with unknown frame count")
+    per = -(-frame_count // nproc)
+    per = -(-per // batch_frames) * batch_frames
+    bounds: list[tuple[int, int | None]] = []
+    for i in range(nproc):
+        lo = min(i * per, frame_count)
+        hi = min((i + 1) * per, frame_count)
+        bounds.append((lo, None if i == nproc - 1 else hi))
+    return bounds
+
+
+def _broadcast_bits(all_bits: np.ndarray) -> np.ndarray:
+    """Host 0's sealed payload becomes every host's (crypto randomness —
+    ephemeral key, salt, nonce — must be identical in every segment)."""
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.broadcast_one_to_all(all_bits.astype(np.uint8))
+    ).astype(np.uint8)
+
+
+def distributed_embed(
+    video_in: str | Path,
+    secret_image: str | Path,
+    video_out: str | Path,
+    receiver_pub_compressed: bytes,
+    config: StegoConfig = StegoConfig(),
+    batch_frames: int = 8,
+    rng=None,
+) -> "EmbedResult | None":
+    """Cooperative multi-process embed; call in EVERY process of an
+    initialized jax.distributed cluster. Returns the final EmbedResult on
+    process 0 and None elsewhere (segment results are logged per host)."""
+    from jax.experimental import multihost_utils
+
+    from stegotpu.pipeline import EmbedResult, _embed_payload
+    from stegotpu.video import VideoReader, force_avi_path
+
+    nproc, pid = jax.process_count(), jax.process_index()
+    width, height, img_bits = image_to_bits(secret_image)
+    img_bytes = bits_to_bytes(img_bits)
+    all_bits, _ = payload_mod.seal_payload(
+        img_bytes, width, height, receiver_pub_compressed, config.dims_bits,
+        rng=rng,
+    )  # every host derives the same SHAPE; host 0's VALUES win below
+    all_bits = _broadcast_bits(all_bits)
+
+    with VideoReader(video_in) as reader:
+        frame_count = reader.info.frame_count
+        cap = config.frame_capacity_bits(*reader.info.cropped)
+    bounds = segment_bounds(frame_count, nproc, batch_frames)
+    lo, hi = bounds[pid]
+
+    out_path = Path(force_avi_path(video_out))
+    seg_path = out_path.with_suffix(f".seg{pid}.avi")
+    if lo >= frame_count:
+        seg_res = None  # more processes than segments: idle host
+    else:
+        seg_res = _embed_payload(
+            video_in, img_bytes, width, height, seg_path,
+            receiver_pub_compressed, config, batch_frames,
+            frame_range=(lo, hi), sealed_bits=all_bits,
+        )
+        log.info("segment %d/%d: frames [%d, %s) -> %s (%d bits in)",
+                 pid, nproc, lo, hi if hi is not None else "EOF", seg_path,
+                 seg_res.bits_embedded)
+
+    # segment success travels through the mesh so every host agrees
+    ok_local = 1 if (seg_res is None or seg_res.success) else 0
+    ok_all = int(np.asarray(
+        multihost_utils.process_allgather(np.int32(ok_local))).min())
+    multihost_utils.sync_global_devices("stegotpu-dist-embed-segments")
+
+    if pid != 0:
+        return None
+    segs = [str(out_path.with_suffix(f".seg{i}.avi")) for i in range(nproc)
+            if bounds[i][0] < frame_count]
+    if not ok_all:
+        log.error("distributed embed: a segment failed; not stitching")
+        return EmbedResult(False, None, int(all_bits.size),
+                           seg_res.bits_embedded if seg_res else 0, 0)
+    from stegotpu.native.videoio import concat_videos
+
+    concat_videos(out_path, segs)
+    for s in segs:
+        Path(s).unlink()
+    # global success = the video's total capacity covers the payload (each
+    # segment already reported local completion through ok_all); pid 0's
+    # segment result carries the first-frame PSNR frames
+    total = int(all_bits.size)
+    last_ok = frame_count * cap >= total
+    return EmbedResult(
+        last_ok, str(out_path) if last_ok else None, total,
+        min(total, frame_count * cap), frame_count,
+        seg_res.first_original_gray if seg_res else None,
+        seg_res.first_stego_gray if seg_res else None,
+    )
+
+
+def distributed_extract(
+    stego_video: str | Path,
+    receiver_private,
+    config: StegoConfig = StegoConfig(),
+    output_image: str | Path | None = None,
+    batch_frames: int = 8,
+) -> "ExtractResult":
+    """Cooperative multi-process extract: each host reads ONLY its frame
+    segment's bits; the gathered stream parses identically on every host
+    (extraction is stateless given the format), so all processes return the
+    same ExtractResult — but only process 0 writes output_image."""
+    from jax.experimental import multihost_utils
+
+    from stegotpu.ops.dispatch import extract_fn
+    from stegotpu.payload import open_payload, parse_payload_bits
+    from stegotpu.pipeline import ExtractResult
+    from stegotpu.video import VideoReader
+
+    nproc, pid = jax.process_count(), jax.process_index()
+    with VideoReader(stego_video) as reader:
+        h8, w8 = reader.info.cropped
+        frame_count = reader.info.frame_count
+        cap = config.frame_capacity_bits(h8, w8)
+        if cap == 0:
+            return ExtractResult(False, error="zero capacity")
+        bounds = segment_bounds(frame_count, nproc, batch_frames)
+        lo, hi = bounds[pid]
+        hi_eff = hi if hi is not None else frame_count
+        delta = jnp.float32(config.delta)
+        xfn = extract_fn(config.kernel, h8, w8)
+
+        chunks: list[np.ndarray] = []
+        seen = 0
+        for gray in reader.batches(batch_frames, mode="gray"):
+            n = gray.shape[0]
+            if seen + n <= lo:
+                seen += n
+                continue
+            if seen >= hi_eff:
+                break
+            if n < batch_frames:
+                gray = np.concatenate(
+                    [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)])
+            chunks.append(np.asarray(xfn(jnp.asarray(gray), delta,
+                                         config.num_ac_coeffs))[:n])
+            seen += n
+        bits_local = (np.concatenate(chunks).reshape(-1) if chunks
+                      else np.zeros((0,), np.uint8))
+
+    # fixed-size gather: every host pads its segment bits to the max
+    # segment capacity, alongside its true count
+    per = max((b[1] if b[1] is not None else frame_count) - b[0]
+              for b in bounds) * cap
+    padded = np.zeros((per,), np.uint8)
+    padded[: bits_local.size] = bits_local
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.int64(bits_local.size)))
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    all_bits = np.concatenate(
+        [gathered[i, : int(counts[i])] for i in range(nproc)])
+
+    from stegotpu.payload import NeedMoreBits
+
+    try:
+        parts, _ = parse_payload_bits(all_bits, config.dims_bits)
+    except NeedMoreBits as e:
+        return ExtractResult(
+            False, frames_read=frame_count,
+            error=f"video ended before payload complete "
+                  f"({all_bits.size} bits read, >= {e.needed} needed)")
+    except ValueError as e:
+        return ExtractResult(False, error=str(e), frames_read=frame_count)
+    try:
+        plaintext, hash_ok = open_payload(parts, receiver_private)
+    except ValueError as e:
+        return ExtractResult(False, parts=parts, frames_read=frame_count,
+                             error=f"payload fields invalid ({e})")
+    if plaintext is None:
+        return ExtractResult(False, parts=parts, frames_read=frame_count,
+                             error="AES-GCM authentication failed")
+    if parts.is_raw_data:
+        out = None
+        if output_image is not None and pid == 0:
+            Path(output_image).write_bytes(plaintext)
+            out = str(output_image)
+        return ExtractResult(True, data=plaintext, hash_ok=hash_ok,
+                             parts=parts, output_path=out,
+                             frames_read=frame_count)
+    try:
+        pixels = bytes_to_pixels(plaintext, parts.secret_width,
+                                 parts.secret_height)
+    except ValueError as e:
+        return ExtractResult(False, parts=parts, hash_ok=hash_ok,
+                             error=str(e), frames_read=frame_count)
+    out = None
+    if output_image is not None and pid == 0:
+        save_image_gray(pixels, output_image)
+        out = str(output_image)
+    return ExtractResult(True, pixels=pixels, hash_ok=hash_ok, parts=parts,
+                         output_path=out, frames_read=frame_count)

@@ -173,15 +173,31 @@ def embed_data_in_video(
 def _embed_payload(
     video_in, plaintext: bytes, width: int, height: int, video_out,
     receiver_pub_compressed: bytes, config: StegoConfig, batch_frames: int,
-    rng=None, timer=None, mesh=None,
+    rng=None, timer=None, mesh=None, frame_range=None, sealed_bits=None,
 ) -> EmbedResult:
+    """frame_range: optional (lo, hi) source-frame window this call owns —
+    the multi-host segment contract (parallel/dist_pipeline.py): frames
+    before lo are decoded and discarded (payload offsets stay global via
+    cursor = lo*capacity), frames from hi on are never read. lo (and hi,
+    except for the final segment) must be batch_frames-aligned so segments
+    cut on batch boundaries. sealed_bits: pre-sealed payload bits shared
+    across hosts (crypto randomness must be identical on every segment).
+    """
     if config.delta <= 0:
         raise ValueError("embedding requires delta > 0 (delta <= 0 embeds nothing)")
-    all_bits, _parts = payload_mod.seal_payload(
-        plaintext, width, height, receiver_pub_compressed, config.dims_bits,
-        rng=rng,
-    )
+    if sealed_bits is not None:
+        all_bits = np.asarray(sealed_bits, dtype=np.uint8)
+    else:
+        all_bits, _parts = payload_mod.seal_payload(
+            plaintext, width, height, receiver_pub_compressed, config.dims_bits,
+            rng=rng,
+        )
     total = int(all_bits.size)
+    lo, hi = frame_range if frame_range is not None else (0, None)
+    if lo % batch_frames:
+        raise ValueError(
+            f"frame_range start {lo} must align to batch_frames={batch_frames}"
+        )
 
     with VideoReader(video_in) as reader:
         h8, w8 = reader.info.cropped
@@ -243,7 +259,7 @@ def _embed_payload(
                 )
 
         out_path = force_avi_path(video_out)
-        cursor = 0
+        cursor = min(total, lo * cap_bits)  # bits owned by earlier segments
         frames_seen = 0
         residual_total = 0
         first_orig = first_stego = None
@@ -284,6 +300,9 @@ def _embed_payload(
                 Prefetcher.maybe(reader.batches(batch_frames, mode="both")) as prefetched:
             for batch_bgr, gray in _timed_iter(prefetched, timer, "decode_wait"):
                 n = batch_bgr.shape[0]
+                if frames_seen + n <= lo:  # pre-segment: decode and discard
+                    frames_seen += n
+                    continue
                 if cursor < total:
                     if n < batch_frames:  # stable jit shape for the tail batch
                         gray = np.concatenate(
@@ -316,7 +335,7 @@ def _embed_payload(
                         drain(writer, pending)
                         pending = None
                     pending = (batch_bgr, gray, n, bpf, stego_dev,
-                               frames_seen == 0 and n > 0)
+                               frames_seen == lo and n > 0)
                     cursor += int(bpf.sum())
                     # live progress (reference: per-frame prints,
                     # embed_process.py:129 — streamed into the GUI log)
@@ -333,10 +352,18 @@ def _embed_payload(
                     with _stage(timer, "encode"):
                         writer.write_bgr_batch(batch_bgr)
                 frames_seen += n
+                if hi is not None and frames_seen >= hi:
+                    break
             if pending is not None:
                 drain(writer, pending)
 
-    success = cursor >= total
+    if frame_range is None:
+        success = cursor >= total
+    else:
+        # segment-local completion: all bits this frame window owns are in
+        # (global completion is the orchestrator's sum over segments)
+        hi_eff = hi if hi is not None else frames_seen
+        success = cursor >= min(total, hi_eff * cap_bits)
     if not success:
         log.warning(
             "video ended before full payload embedded (%d/%d bits)", cursor, total

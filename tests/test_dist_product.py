@@ -1,0 +1,125 @@
+"""Multi-host PRODUCT path: cooperative dist-embed / dist-extract via the
+CLI across 2 processes (jax.distributed + Gloo), segment stitch by native
+packet concat. The payload deliberately spans the segment boundary, and
+the stitched stego must decode pixel-identically to the single-process
+embed with the same deterministic crypto stream."""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from stegotpu import crypto, fixtures
+from stegotpu.config import StegoConfig
+from stegotpu.image import load_image_gray
+from stegotpu.native import videoio
+
+REPO = Path(__file__).resolve().parent.parent
+
+pytestmark = pytest.mark.skipif(
+    not videoio.available(), reason="native concat needs the native lib")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _spawn(cmd_args, pid, nproc, port):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    return subprocess.Popen(
+        [sys.executable, "-m", "stegotpu.cli", "--platform", "cpu",
+         *cmd_args, "--coordinator", f"127.0.0.1:{port}",
+         "--num-processes", str(nproc), "--process-id", str(pid)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+
+
+def _run_all(cmd_args, nproc=2):
+    port = _free_port()
+    procs = [_spawn(cmd_args, pid, nproc, port) for pid in range(nproc)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+    return outs
+
+
+def _decode_all(path):
+    import cv2
+
+    cap = cv2.VideoCapture(str(path))
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f)
+    cap.release()
+    return np.stack(frames)
+
+
+def test_dist_embed_extract_two_processes(tmp_path):
+    d = tmp_path
+    # payload spans the segment boundary: 12 frames, batch 4 -> host 0 owns
+    # [0, 8), host 1 [8, 12); a 56x56 secret needs ~9 frames at 128x160
+    fixtures.make_secret_image(d / "s.png", 56, 56, kind="noise", seed=3)
+    fixtures.make_cover_video(d / "c.mp4", 160, 128, frames=12,
+                              kind="moving", seed=4)
+    priv, pub_c = crypto.setup_receiver_keys(d / "k.pem", d / "p.pem")
+
+    outs = _run_all([
+        "dist-embed", str(d / "c.mp4"), str(d / "s.png"), str(d / "st"),
+        "--public-key", str(d / "p.pem"), "--seed", "5", "--batch", "4",
+    ])
+    assert any("embedded" in o and "2 hosts" in o for o in outs), outs
+    stego = d / "st.avi"
+    assert stego.exists()
+    assert not list(d.glob("*.seg*.avi"))  # segments cleaned up
+
+    # pixel-identical to the single-process embed with the same crypto seed
+    from stegotpu.pipeline import embed_image_in_video, extract_image_from_video
+
+    res1 = embed_image_in_video(d / "c.mp4", d / "s.png", d / "st_one", pub_c,
+                                StegoConfig(), batch_frames=4,
+                                rng=np.random.default_rng(5))
+    assert res1.success
+    np.testing.assert_array_equal(_decode_all(stego),
+                                  _decode_all(res1.output_path))
+
+    # single-process extract of the stitched file
+    ext = extract_image_from_video(stego, priv, StegoConfig())
+    assert ext.success and ext.hash_ok
+    np.testing.assert_array_equal(ext.pixels, load_image_gray(d / "s.png"))
+
+    # cooperative 2-process extract
+    outs = _run_all([
+        "dist-extract", str(stego), str(d / "out.png"),
+        "--private-key", str(d / "k.pem"), "--batch", "4",
+    ])
+    assert any("SHA3-256 integrity: OK" in o for o in outs), outs
+    np.testing.assert_array_equal(load_image_gray(d / "out.png"),
+                                  load_image_gray(d / "s.png"))
+
+
+def test_segment_bounds():
+    from stegotpu.parallel.dist_pipeline import segment_bounds
+
+    assert segment_bounds(12, 2, 4) == [(0, 8), (8, None)]
+    assert segment_bounds(64, 4, 8) == [(0, 16), (16, 32), (32, 48), (48, None)]
+    # more processes than batches: trailing hosts idle (lo == frame_count)
+    assert segment_bounds(4, 3, 4) == [(0, 4), (4, 4), (4, None)]
+    with pytest.raises(ValueError):
+        segment_bounds(0, 2, 4)
