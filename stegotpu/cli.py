@@ -668,6 +668,10 @@ def build_parser() -> argparse.ArgumentParser:
     de.add_argument("--seed", type=int, default=None,
                     help="deterministic crypto stream (tests/demos only — "
                          "weakens the ephemeral-key security!)")
+    de.add_argument("--verified", action="store_true",
+                    help="closed-loop embed repair per segment (BER=0 even "
+                         "on saturated covers)")
+    de.add_argument("--allow-residual", action="store_true")
     _add_dist_flags(de)
     _add_codec_flag(de)
     de.set_defaults(fn=cmd_dist_embed)
