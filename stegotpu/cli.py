@@ -156,66 +156,82 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def _run_file_batch(items, out_dir: Path, jobs_flag: int, one, report):
+    """Shared scaffolding of embed-batch / extract-batch: duplicate-stem
+    guard, --jobs auto-pick (affinity-aware), thread-pool fan-out with
+    reports in INPUT order regardless of completion order.
+
+    one(item) -> result (OSError/ValueError become per-item failures);
+    report(item, res) -> True if the item succeeded (prints its own line).
+    Returns (failures, elapsed_s); failures < 0 means the dupe guard fired.
+    """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from stegotpu.video import effective_cpu_count
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stems = [Path(i).stem for i in items]
+    dupes = {s for s in stems if stems.count(s) > 1}
+    if dupes:
+        print("error: inputs with the same filename would overwrite each "
+              f"other's output: {sorted(dupes)} — rename or run separately",
+              file=sys.stderr)
+        return -1, 0.0
+    jobs = jobs_flag if jobs_flag else (2 if effective_cpu_count() > 1 else 1)
+    failures = 0
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=max(1, jobs)) as pool:
+        futures = [(i, pool.submit(one, i)) for i in items]
+        for item, fut in futures:
+            try:
+                res = fut.result()
+            except (OSError, ValueError) as e:
+                print(f"{item}: FAILED ({e})", file=sys.stderr)
+                failures += 1
+                continue
+            if not report(item, res):
+                failures += 1
+    return failures, time.perf_counter() - t0
+
+
 def cmd_extract_batch(args) -> int:
     """Extract from MANY stego videos in one warm process (embed-batch's
     inverse): jit compiles once per resolution; --jobs overlaps files on
     multi-core hosts. Raw-data payloads write <stem>.bin, images <stem>.png."""
-    import os
-    import time
-    from concurrent.futures import ThreadPoolExecutor
-
+    from stegotpu.image import save_image_gray
     from stegotpu.pipeline import extract_image_from_video
 
     priv = crypto.load_private_pem(args.private_key)
     cfg = _config_from_args(args)
     out_dir = Path(args.out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    stems = [Path(s).stem for s in args.stegos]
-    dupes = {s for s in stems if stems.count(s) > 1}
-    if dupes:
-        print("error: stego files with the same filename would overwrite "
-              f"each other's output: {sorted(dupes)} — rename or run "
-              "separately", file=sys.stderr)
-        return 1
-    jobs = args.jobs if args.jobs else (2 if (os.cpu_count() or 1) > 1 else 1)
-    failures = 0
-    t0 = time.perf_counter()
 
     def one(stego):
-        # image payloads save through output_image; raw-data payloads are
-        # written from the result below (extension needs the parse first)
+        # raw-data payloads are written in report() — the output extension
+        # depends on the parsed payload kind
         return extract_image_from_video(stego, priv, cfg,
                                         batch_frames=args.batch)
 
-    with ThreadPoolExecutor(max_workers=max(1, jobs)) as pool:
-        futures = [(s, pool.submit(one, s)) for s in args.stegos]
-        for stego, fut in futures:
-            try:
-                res = fut.result()
-            except (OSError, ValueError) as e:
-                print(f"{stego}: FAILED ({e})", file=sys.stderr)
-                failures += 1
-                continue
-            if not res.success:
-                print(f"{stego}: FAILED ({res.error})", file=sys.stderr)
-                failures += 1
-                continue
-            if res.is_raw_data:
-                out = out_dir / (Path(stego).stem + ".bin")
-                out.write_bytes(res.data)
-                print(f"{stego}: -> {out} ({len(res.data)} bytes raw"
-                      f"{'' if res.hash_ok else ', SHA3 MISMATCH'})")
-            else:
-                from stegotpu.image import save_image_gray
+    def report(stego, res) -> bool:
+        if not res.success:
+            print(f"{stego}: FAILED ({res.error})", file=sys.stderr)
+            return False
+        if res.is_raw_data:
+            out = out_dir / (Path(stego).stem + ".bin")
+            out.write_bytes(res.data)
+            print(f"{stego}: -> {out} ({len(res.data)} bytes raw"
+                  f"{'' if res.hash_ok else ', SHA3 MISMATCH'})")
+        else:
+            out = out_dir / (Path(stego).stem + ".png")
+            save_image_gray(res.pixels, out)
+            print(f"{stego}: -> {out} ({res.parts.secret_width}x"
+                  f"{res.parts.secret_height}"
+                  f"{'' if res.hash_ok else ', SHA3 MISMATCH'})")
+        return res.hash_ok
 
-                out = out_dir / (Path(stego).stem + ".png")
-                save_image_gray(res.pixels, out)
-                print(f"{stego}: -> {out} ({res.parts.secret_width}x"
-                      f"{res.parts.secret_height}"
-                      f"{'' if res.hash_ok else ', SHA3 MISMATCH'})")
-            if not res.hash_ok:
-                failures += 1
-    dt = time.perf_counter() - t0
+    failures, dt = _run_file_batch(args.stegos, out_dir, args.jobs, one, report)
+    if failures < 0:
+        return 1
     n_ok = len(args.stegos) - failures
     print(f"batch done: {n_ok}/{len(args.stegos)} extracted in {dt:.2f}s")
     return 1 if failures else 0
@@ -310,26 +326,11 @@ def cmd_embed_batch(args) -> int:
     release the GIL inside FFmpeg and XLA, so threads genuinely overlap
     on multi-core hosts; single-core hosts default to --jobs 1).
     """
-    import os
-    import time
-    from concurrent.futures import ThreadPoolExecutor
-
     from stegotpu.pipeline import embed_image_in_video
 
     pub = crypto.serialize_public_compressed(crypto.load_public_pem(args.public_key))
     cfg = _config_from_args(args)
     out_dir = Path(args.out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    stems = [Path(c).stem for c in args.covers]
-    dupes = {s for s in stems if stems.count(s) > 1}
-    if dupes:
-        print("error: covers with the same filename would overwrite each "
-              f"other's output: {sorted(dupes)} — rename or run separately",
-              file=sys.stderr)
-        return 1
-    jobs = args.jobs if args.jobs else (2 if (os.cpu_count() or 1) > 1 else 1)
-    failures = 0
-    t0 = time.perf_counter()
     frames_total = 0
 
     def one(cover):
@@ -337,26 +338,21 @@ def cmd_embed_batch(args) -> int:
         return embed_image_in_video(cover, args.secret, out, pub, cfg,
                                     batch_frames=args.batch)
 
-    with ThreadPoolExecutor(max_workers=max(1, jobs)) as pool:
-        futures = [(c, pool.submit(one, c)) for c in args.covers]
-        # results print in input order regardless of completion order
-        for cover, fut in futures:
-            try:
-                res = fut.result()
-            except (OSError, ValueError) as e:
-                print(f"{cover}: FAILED ({e})", file=sys.stderr)
-                failures += 1
-                continue
-            if not res.success:
-                print(f"{cover}: FAILED ({res.bits_embedded}/"
-                      f"{res.total_payload_bits} bits before video ended)",
-                      file=sys.stderr)
-                failures += 1
-                continue
-            frames_total += res.frames_used
-            print(f"{cover}: -> {res.output_path} ({res.total_payload_bits} "
-                  f"bits, {res.frames_used} frames)")
-    dt = time.perf_counter() - t0
+    def report(cover, res) -> bool:
+        nonlocal frames_total
+        if not res.success:
+            print(f"{cover}: FAILED ({res.bits_embedded}/"
+                  f"{res.total_payload_bits} bits before video ended)",
+                  file=sys.stderr)
+            return False
+        frames_total += res.frames_used
+        print(f"{cover}: -> {res.output_path} ({res.total_payload_bits} "
+              f"bits, {res.frames_used} frames)")
+        return True
+
+    failures, dt = _run_file_batch(args.covers, out_dir, args.jobs, one, report)
+    if failures < 0:
+        return 1
     n_ok = len(args.covers) - failures
     print(f"batch done: {n_ok}/{len(args.covers)} covers embedded, "
           f"{frames_total} frames in {dt:.2f}s")

@@ -62,12 +62,23 @@ class StegoApp:
         self.codec = tk.StringVar(value="FFV1")
         self.verified = tk.BooleanVar(value=False)
         # live pipeline log: every stegotpu log record (incl. per-batch
-        # DEBUG progress) streams into the GUI through the queue
+        # DEBUG progress) streams into the GUI through the queue. A stale
+        # handler from a previous window would leak records into a dead
+        # queue forever — replace, never accumulate.
         logger = logging.getLogger("stegotpu")
-        logger.addHandler(QueueLogHandler(self._q))
-        if logger.level in (logging.NOTSET, logging.WARNING) or \
-                logger.level > logging.DEBUG:
+        for h in list(logger.handlers):
+            if isinstance(h, QueueLogHandler):
+                logger.removeHandler(h)
+        if logger.level == logging.NOTSET or logger.level > logging.DEBUG:
+            # the GUI handler needs DEBUG records; pin pre-existing
+            # handlers to the logger's previous effective level so they
+            # don't suddenly start emitting DEBUG too
+            prev = logger.getEffectiveLevel()
+            for h in logger.handlers:
+                if h.level == logging.NOTSET:
+                    h.setLevel(prev)
             logger.setLevel(logging.DEBUG)
+        logger.addHandler(QueueLogHandler(self._q))
         self.paths = {
             "cover": tk.StringVar(),
             "secret": tk.StringVar(),

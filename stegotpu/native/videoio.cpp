@@ -505,6 +505,7 @@ int svx_concat(const char* out_path, const char** inputs, int n_inputs) {
     return -1;
   }
   AVStream* ostream = nullptr;
+  bool header_written = false;
   int64_t pts_off = 0;
   int rc = 0;
   AVPacket* pkt = av_packet_alloc();
@@ -543,6 +544,7 @@ int svx_concat(const char* out_path, const char** inputs, int n_inputs) {
         rc = -1;
         break;
       }
+      header_written = true;
     } else if (istream->codecpar->codec_id != ostream->codecpar->codec_id ||
                istream->codecpar->width != ostream->codecpar->width ||
                istream->codecpar->height != ostream->codecpar->height) {
@@ -574,10 +576,11 @@ int svx_concat(const char* out_path, const char** inputs, int n_inputs) {
     avformat_close_input(&in);
   }
   av_packet_free(&pkt);
-  if (ostream && rc == 0 && av_write_trailer(out) < 0) {
+  // av_write_trailer is only legal after a successful avformat_write_header
+  if (header_written && rc == 0 && av_write_trailer(out) < 0) {
     set_err("cannot write avi trailer");
     rc = -1;
-  } else if (ostream && rc != 0) {
+  } else if (header_written && rc != 0) {
     av_write_trailer(out);
   }
   if (!(out->oformat->flags & AVFMT_NOFILE) && out->pb) avio_closep(&out->pb);

@@ -114,33 +114,38 @@ def distributed_embed(
                  pid, nproc, lo, hi if hi is not None else "EOF", seg_path,
                  seg_res.bits_embedded)
 
-    # segment success travels through the mesh so every host agrees
+    # segment status travels through the mesh so every host agrees; the
+    # bits watermark is each segment's ACTUAL cursor (a truncated cover can
+    # decode fewer frames than the container header claims, so metadata
+    # capacity must not substitute for it)
     ok_local = 1 if (seg_res is None or seg_res.success) else 0
-    ok_all = int(np.asarray(
-        multihost_utils.process_allgather(np.int32(ok_local))).min())
+    stats = np.asarray(multihost_utils.process_allgather(np.asarray(
+        [ok_local, seg_res.bits_embedded if seg_res else 0], np.int64)))
+    ok_all = int(stats[:, 0].min())
+    cursor_global = int(stats[:, 1].max())
     multihost_utils.sync_global_devices("stegotpu-dist-embed-segments")
 
     if pid != 0:
         return None
+    total = int(all_bits.size)
     segs = [str(out_path.with_suffix(f".seg{i}.avi")) for i in range(nproc)
             if bounds[i][0] < frame_count]
-    if not ok_all:
-        log.error("distributed embed: a segment failed; not stitching")
-        return EmbedResult(False, None, int(all_bits.size),
-                           seg_res.bits_embedded if seg_res else 0, 0)
+    success = bool(ok_all) and cursor_global >= total
+    if not success:
+        log.error(
+            "distributed embed failed (%d/%d bits; segment ok=%d) — "
+            "removing segments", cursor_global, total, ok_all)
+        for s in segs:
+            Path(s).unlink(missing_ok=True)
+        return EmbedResult(False, None, total, cursor_global, frame_count)
     from stegotpu.native.videoio import concat_videos
 
     concat_videos(out_path, segs)
     for s in segs:
         Path(s).unlink()
-    # global success = the video's total capacity covers the payload (each
-    # segment already reported local completion through ok_all); pid 0's
-    # segment result carries the first-frame PSNR frames
-    total = int(all_bits.size)
-    last_ok = frame_count * cap >= total
+    # pid 0's segment result carries the first-frame PSNR frames
     return EmbedResult(
-        last_ok, str(out_path) if last_ok else None, total,
-        min(total, frame_count * cap), frame_count,
+        True, str(out_path), total, cursor_global, frame_count,
         seg_res.first_original_gray if seg_res else None,
         seg_res.first_stego_gray if seg_res else None,
     )
@@ -154,13 +159,17 @@ def distributed_extract(
     batch_frames: int = 8,
 ) -> "ExtractResult":
     """Cooperative multi-process extract: each host reads ONLY its frame
-    segment's bits; the gathered stream parses identically on every host
-    (extraction is stateless given the format), so all processes return the
-    same ExtractResult — but only process 0 writes output_image."""
+    segment's bits, and the hosts assemble the global bit prefix in
+    DEMAND-DRIVEN rounds — the parser's NeedMoreBits watermark decides how
+    many frames the next round gathers, so a typical payload (a few frames)
+    never ships a long video's full QIM capacity over DCN. The gathered
+    stream parses identically on every host (extraction is stateless given
+    the format), so all processes return the same ExtractResult — but only
+    process 0 writes output_image."""
     from jax.experimental import multihost_utils
 
     from stegotpu.ops.dispatch import extract_fn
-    from stegotpu.payload import open_payload, parse_payload_bits
+    from stegotpu.payload import NeedMoreBits, open_payload, parse_payload_bits
     from stegotpu.pipeline import ExtractResult
     from stegotpu.video import VideoReader
 
@@ -177,47 +186,84 @@ def distributed_extract(
         delta = jnp.float32(config.delta)
         xfn = extract_fn(config.kernel, h8, w8)
 
-        chunks: list[np.ndarray] = []
+        # lazy forward reader over THIS host's segment: per-frame bit rows,
+        # buffered across rounds (round windows need not align to batches)
+        batches_iter = reader.batches(batch_frames, mode="gray")
+        buf: list[np.ndarray] = []  # per-frame (cap,) bit arrays, in order
         seen = 0
-        for gray in reader.batches(batch_frames, mode="gray"):
-            n = gray.shape[0]
-            if seen + n <= lo:
+        exhausted = False
+
+        def take(n_frames: int) -> list[np.ndarray]:
+            nonlocal seen, exhausted
+            while len(buf) < n_frames and not exhausted:
+                gray = next(batches_iter, None)
+                if gray is None or seen >= hi_eff:
+                    exhausted = True
+                    break
+                n = gray.shape[0]
+                if seen + n <= lo:  # pre-segment: decode and discard
+                    seen += n
+                    continue
+                if n < batch_frames:
+                    gray = np.concatenate(
+                        [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)])
+                bits = np.asarray(xfn(jnp.asarray(gray), delta,
+                                      config.num_ac_coeffs))[:n]
+                keep = min(n, hi_eff - seen)
+                buf.extend(bits[:keep])
                 seen += n
-                continue
-            if seen >= hi_eff:
+            out, buf[:] = buf[:n_frames], buf[n_frames:]
+            return out
+
+        have = np.zeros((0,), np.uint8)  # assembled global prefix
+        frames_done = 0  # global frames already gathered
+        parts = None
+        parse_error: str | None = None
+        while True:
+            try:
+                parts, _ = parse_payload_bits(have, config.dims_bits)
                 break
-            if n < batch_frames:
-                gray = np.concatenate(
-                    [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)])
-            chunks.append(np.asarray(xfn(jnp.asarray(gray), delta,
-                                         config.num_ac_coeffs))[:n])
-            seen += n
-        bits_local = (np.concatenate(chunks).reshape(-1) if chunks
-                      else np.zeros((0,), np.uint8))
+            except NeedMoreBits as e:
+                needed_frames = min(-(-e.needed // cap), frame_count)
+            except ValueError as e:
+                parse_error = str(e)
+                break
+            if frames_done >= frame_count:
+                parse_error = (f"video ended before payload complete "
+                               f"({have.size} bits read)")
+                break
+            window = needed_frames - frames_done
+            if window <= 0:  # defensive: watermark must advance
+                window = batch_frames
+            # my contribution: my segment's frames inside the round window
+            my_lo = max(lo, frames_done)
+            my_hi = min(hi_eff, frames_done + window)
+            mine = take(my_hi - my_lo) if my_hi > my_lo else []
+            contrib = (np.concatenate(mine) if mine
+                       else np.zeros((0,), np.uint8))
+            padded = np.zeros((window * cap,), np.uint8)
+            padded[: contrib.size] = contrib
+            counts = np.asarray(multihost_utils.process_allgather(
+                np.int64(contrib.size)))
+            gathered = np.asarray(multihost_utils.process_allgather(padded))
+            round_bits = np.concatenate(
+                [gathered[i, : int(counts[i])] for i in range(nproc)])
+            if round_bits.size == 0:  # nothing decodable anywhere: stop
+                parse_error = (f"video ended before payload complete "
+                               f"({have.size} bits read)")
+                break
+            have = np.concatenate([have, round_bits])
+            frames_done += window
+            if int(counts.sum()) < window * cap:
+                # some segment decoded short (truncated container): the
+                # assembled prefix may now be missing interior bits — stop
+                # after one final parse attempt rather than looping forever
+                frames_done = frame_count
 
-    # fixed-size gather: every host pads its segment bits to the max
-    # segment capacity, alongside its true count
-    per = max((b[1] if b[1] is not None else frame_count) - b[0]
-              for b in bounds) * cap
-    padded = np.zeros((per,), np.uint8)
-    padded[: bits_local.size] = bits_local
-    counts = np.asarray(multihost_utils.process_allgather(
-        np.int64(bits_local.size)))
-    gathered = np.asarray(multihost_utils.process_allgather(padded))
-    all_bits = np.concatenate(
-        [gathered[i, : int(counts[i])] for i in range(nproc)])
-
-    from stegotpu.payload import NeedMoreBits
-
-    try:
-        parts, _ = parse_payload_bits(all_bits, config.dims_bits)
-    except NeedMoreBits as e:
-        return ExtractResult(
-            False, frames_read=frame_count,
-            error=f"video ended before payload complete "
-                  f"({all_bits.size} bits read, >= {e.needed} needed)")
-    except ValueError as e:
-        return ExtractResult(False, error=str(e), frames_read=frame_count)
+    if parse_error is not None:
+        return ExtractResult(False, error=parse_error,
+                             frames_read=frames_done)
+    frame_count = frames_done  # frames actually gathered (reporting)
     try:
         plaintext, hash_ok = open_payload(parts, receiver_private)
     except ValueError as e:

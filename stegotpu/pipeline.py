@@ -34,7 +34,8 @@ from stegotpu.config import StegoConfig, crop_dims
 from stegotpu.metrics import psnr_np
 from stegotpu.ops.dispatch import embed_fn, extract_fn
 from stegotpu.payload import NeedMoreBits, PayloadParts, open_payload, parse_payload_bits
-from stegotpu.video import Prefetcher, VideoReader, VideoWriter, force_avi_path
+from stegotpu.video import (GraySwitch, Prefetcher, VideoReader, VideoWriter,
+                            force_avi_path)
 
 log = logging.getLogger("stegotpu")
 
@@ -296,8 +297,12 @@ def _embed_payload(
         # mode='both': the native decoder emits the cv2-bit-exact gray plane
         # alongside BGR during decode (C++, on the prefetch thread) — the old
         # host-side gray_convert stage is gone from the hot loop entirely.
+        # gray_switch turns the conversion off for the passthrough tail
+        # (post-payload frames only need BGR).
+        gray_switch = GraySwitch()
         with VideoWriter(out_path, reader.info.fps, w8, h8, config.codec) as writer, \
-                Prefetcher.maybe(reader.batches(batch_frames, mode="both")) as prefetched:
+                Prefetcher.maybe(reader.batches(batch_frames, mode="both",
+                                                gray_switch=gray_switch)) as prefetched:
             for batch_bgr, gray in _timed_iter(prefetched, timer, "decode_wait"):
                 n = batch_bgr.shape[0]
                 if frames_seen + n <= lo:  # pre-segment: decode and discard
@@ -346,6 +351,7 @@ def _embed_payload(
                     # color (reference: embed_process.py:134-139) — but only
                     # after the in-flight stego batch is written, preserving
                     # frame order.
+                    gray_switch.on = False  # tail batches skip gray convert
                     if pending is not None:
                         drain(writer, pending)
                         pending = None

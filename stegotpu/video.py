@@ -103,7 +103,7 @@ class VideoReader:
         return frame[:h, :w]
 
     def batches(self, batch_size: int, crop: bool = True,
-                mode: str = "bgr") -> Iterator:
+                mode: str = "bgr", gray_switch=None) -> Iterator:
         """Yield uint8 frame batches; the last may be short.
 
         mode='bgr'  -> (n, H, W, 3) BGR (default)
@@ -115,11 +115,21 @@ class VideoReader:
                        pipeline needs gray for the kernel and BGR for the
                        post-payload color passthrough
 
+        gray_switch (mode='both' only): a GraySwitch the consumer flips off
+        once it stops needing the gray plane (payload complete) — later
+        batches yield (bgr, None) and skip the conversion entirely. With a
+        Prefetcher in front, at most `depth` already-decoded batches still
+        carry gray after the flip.
+
         On the cv2 fallback, gray is computed in numpy inside this generator,
         so a Prefetcher wrapping it still overlaps the conversion with
         device compute.
         """
         h, w = self.info.cropped if crop else (self.info.height, self.info.width)
+
+        def want_gray() -> bool:
+            return gray_switch is None or gray_switch.on
+
         if self._native is not None:
             read = {
                 "bgr": self._native.read_batch,
@@ -127,7 +137,11 @@ class VideoReader:
                 "both": self._native.read_batch_both,
             }[mode]
             while True:
-                batch = read(batch_size, h, w)
+                if mode == "both" and not want_gray():
+                    bgr = self._native.read_batch(batch_size, h, w)
+                    batch = None if bgr is None else (bgr, None)
+                else:
+                    batch = read(batch_size, h, w)
                 if batch is None:
                     return
                 yield batch
@@ -139,6 +153,8 @@ class VideoReader:
             bgr = np.stack(frames)
             if mode == "bgr":
                 return bgr
+            if mode == "both" and not want_gray():
+                return (bgr, None)
             gray = bgr_to_gray_np(bgr)
             return gray if mode == "gray" else (bgr, gray)
 
@@ -245,6 +261,29 @@ class VideoWriter:
         self.release()
 
 
+class GraySwitch:
+    """Mutable flag shared between the embed loop and its batches()
+    generator: .on=False stops the per-batch gray conversion once the
+    payload is complete (the passthrough tail only needs BGR)."""
+
+    __slots__ = ("on",)
+
+    def __init__(self) -> None:
+        self.on = True
+
+
+def effective_cpu_count() -> int:
+    """CPUs this PROCESS may use — cgroup/affinity aware.
+
+    os.cpu_count() reports host cores; a container pinned to 1 CPU on a
+    16-core host would still spawn overlap threads that only add scheduler
+    thrash. sched_getaffinity reflects the real quota where available."""
+    try:
+        return len(os.sched_getaffinity(0)) or 1
+    except (AttributeError, OSError):  # non-Linux
+        return os.cpu_count() or 1
+
+
 class _PassthroughPrefetcher:
     """Prefetcher-shaped wrapper that iterates inline (no worker thread).
 
@@ -291,7 +330,7 @@ class Prefetcher:
     @staticmethod
     def maybe(iterator: Iterator, depth: int = 2):
         """Prefetcher when overlap can help, inline passthrough when not."""
-        if (os.cpu_count() or 1) <= 1:
+        if effective_cpu_count() <= 1:
             return _PassthroughPrefetcher(iterator)
         return Prefetcher(iterator, depth)
 

@@ -101,17 +101,17 @@ def test_extract_from_truncated_stego_fails_closed(tmp_path):
 def test_prefetcher_maybe_single_core(monkeypatch):
     """On a 1-core host maybe() returns the inline passthrough (a worker
     thread cannot overlap anything there and measurably slows the codec);
-    on multi-core it returns a real Prefetcher."""
-    import os
-
+    on multi-core it returns a real Prefetcher. The check is affinity-aware
+    (cgroup quota), not raw host core count."""
+    import stegotpu.video as V
     from stegotpu.video import _PassthroughPrefetcher
 
-    monkeypatch.setattr(os, "cpu_count", lambda: 1)
+    monkeypatch.setattr(V, "effective_cpu_count", lambda: 1)
     with Prefetcher.maybe(iter(range(5))) as p:
         assert isinstance(p, _PassthroughPrefetcher)
         assert list(p) == list(range(5))
 
-    monkeypatch.setattr(os, "cpu_count", lambda: 8)
+    monkeypatch.setattr(V, "effective_cpu_count", lambda: 8)
     with Prefetcher.maybe(iter(range(5))) as p:
         assert isinstance(p, Prefetcher)
         assert list(p) == list(range(5))
