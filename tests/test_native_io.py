@@ -209,3 +209,30 @@ def test_native_rawvideo_pool_lossless_and_cv2_decodable(rng, tmp_path):
         got.append(f)
     cap.release()
     np.testing.assert_array_equal(np.stack(got), frames)
+
+
+def test_concat_rejects_mismatched_segments(rng, tmp_path):
+    """Segments with different dimensions must fail with a structured
+    IOError (and must not crash in the trailer path — the muxer header
+    was written by the first segment)."""
+    from stegotpu.native.videoio import concat_videos
+
+    with videoio.NativeVideoWriter(tmp_path / "a.avi", 96, 64, 24.0) as w:
+        w.write(_frames(rng, n=2))
+    with videoio.NativeVideoWriter(tmp_path / "b.avi", 64, 64, 24.0) as w:
+        w.write(rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8))
+    with pytest.raises(IOError, match="mismatch"):
+        concat_videos(tmp_path / "out.avi", [tmp_path / "a.avi",
+                                             tmp_path / "b.avi"])
+
+
+def test_concat_unwritable_output_fails_cleanly(rng, tmp_path):
+    """An unopenable output path raises IOError instead of crashing in
+    av_write_trailer (header never written -> trailer must not run)."""
+    from stegotpu.native.videoio import concat_videos
+
+    with videoio.NativeVideoWriter(tmp_path / "a.avi", 96, 64, 24.0) as w:
+        w.write(_frames(rng, n=2))
+    with pytest.raises(IOError):
+        concat_videos("/proc/definitely/not/writable/out.avi",
+                      [tmp_path / "a.avi"])

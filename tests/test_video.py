@@ -124,3 +124,32 @@ def test_passthrough_prefetcher_close_mid_iteration():
     assert next(p) == 0
     p.close()
     assert list(p) == []
+
+
+def test_batches_gray_switch(tmp_path, rng):
+    """mode='both' with a GraySwitch: after the consumer flips it off,
+    batches arrive as (bgr, None) and the gray conversion is skipped —
+    on both the native and cv2 backends."""
+    from stegotpu.video import GraySwitch
+
+    frames = rng.integers(0, 256, (8, 32, 48, 3), dtype=np.uint8)
+    with VideoWriter(tmp_path / "c.avi", 24.0, 48, 32, "FFV1") as w:
+        w.write_bgr_batch(frames)
+    for backend in ("native", "cv2"):
+        try:
+            r = VideoReader(tmp_path / "c.avi", backend=backend)
+        except RuntimeError:
+            continue  # native lib unavailable in this environment
+        with r:
+            sw = GraySwitch()
+            got = []
+            for i, (bgr, gray) in enumerate(
+                    r.batches(2, mode="both", gray_switch=sw)):
+                got.append((bgr, gray))
+                if i == 1:
+                    sw.on = False
+            assert len(got) == 4
+            assert got[0][1] is not None and got[1][1] is not None
+            assert got[2][1] is None and got[3][1] is None, backend
+            np.testing.assert_array_equal(
+                np.concatenate([b for b, _ in got]), frames)
