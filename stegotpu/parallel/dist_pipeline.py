@@ -102,17 +102,25 @@ def distributed_embed(
 
     out_path = Path(force_avi_path(video_out))
     seg_path = out_path.with_suffix(f".seg{pid}.avi")
+    seg_error: Exception | None = None
     if lo >= frame_count:
         seg_res = None  # more processes than segments: idle host
     else:
-        seg_res = _embed_payload(
-            video_in, img_bytes, width, height, seg_path,
-            receiver_pub_compressed, config, batch_frames,
-            frame_range=(lo, hi), sealed_bits=all_bits,
-        )
-        log.info("segment %d/%d: frames [%d, %s) -> %s (%d bits in)",
-                 pid, nproc, lo, hi if hi is not None else "EOF", seg_path,
-                 seg_res.bits_embedded)
+        # a raising host must STILL join the collectives below, or every
+        # other process hangs in allgather waiting for it
+        try:
+            seg_res = _embed_payload(
+                video_in, img_bytes, width, height, seg_path,
+                receiver_pub_compressed, config, batch_frames,
+                frame_range=(lo, hi), sealed_bits=all_bits,
+            )
+            log.info("segment %d/%d: frames [%d, %s) -> %s (%d bits in)",
+                     pid, nproc, lo, hi if hi is not None else "EOF",
+                     seg_path, seg_res.bits_embedded)
+        except (OSError, ValueError) as e:
+            seg_error = e
+            seg_res = EmbedResult(False, None, int(all_bits.size), 0, 0)
+            log.error("segment %d/%d failed: %s", pid, nproc, e)
 
     # segment status travels through the mesh so every host agrees; the
     # bits watermark is each segment's ACTUAL cursor (a truncated cover can
@@ -125,6 +133,8 @@ def distributed_embed(
     cursor_global = int(stats[:, 1].max())
     multihost_utils.sync_global_devices("stegotpu-dist-embed-segments")
 
+    if seg_error is not None:
+        raise seg_error  # after the collectives: peers are not left hanging
     if pid != 0:
         return None
     total = int(all_bits.size)
@@ -194,9 +204,17 @@ def distributed_extract(
         exhausted = False
 
         def take(n_frames: int) -> list[np.ndarray]:
+            """Next n frames' bits of this host's segment. A decode error
+            marks the segment exhausted instead of raising: this host must
+            keep joining the round allgathers or its peers hang."""
             nonlocal seen, exhausted
             while len(buf) < n_frames and not exhausted:
-                gray = next(batches_iter, None)
+                try:
+                    gray = next(batches_iter, None)
+                except OSError as e:
+                    log.error("segment decode failed mid-round: %s", e)
+                    exhausted = True
+                    break
                 if gray is None or seen >= hi_eff:
                     exhausted = True
                     break
