@@ -395,6 +395,16 @@ def cmd_capacity(args) -> int:
     from stegotpu.evaluation import capacity_report
 
     r = capacity_report(args.video, _config_from_args(args))
+    if getattr(args, "json", False):
+        print(json.dumps({
+            "width": r.width, "height": r.height, "frames": r.frames,
+            "qim_bits_per_frame": r.qim_bits_per_frame,
+            "total_qim_bits": r.total_qim_bits,
+            "max_secret_pixels": r.max_secret_pixels,
+            "payload_header_bits": r.payload_header_bits,
+            "naive_bits_per_frame": r.naive_bits_per_frame,
+        }))
+        return 0
     print(f"{r.width}x{r.height}, {r.frames} frames")
     print(f"QIM capacity: {r.qim_bits_per_frame} bits/frame "
           f"({r.total_qim_bits} total)")
@@ -478,6 +488,22 @@ def cmd_inspect(args) -> int:
         return 1
     parts, ct_len, header_bits = parsed
     total_bits = header_bits + 8 * ct_len
+    if getattr(args, "json", False):
+        print(json.dumps({
+            "width": reader.info.width, "height": reader.info.height,
+            "fps": reader.info.fps, "capacity_bits_per_frame": cap_bits,
+            "delta": cfg.delta, "num_ac_coeffs": cfg.num_ac_coeffs,
+            "payload_type": "raw_data" if parts.is_raw_data else "image",
+            "secret_width": parts.secret_width,
+            "secret_height": parts.secret_height,
+            "sender_pub_bytes": len(parts.sender_pub_compressed),
+            "hkdf_salt_bytes": len(parts.hkdf_salt),
+            "nonce_bytes": len(parts.nonce), "tag_bytes": len(parts.tag),
+            "sha3_256": parts.sha3_hash.hex(),
+            "ciphertext_bytes": ct_len, "total_payload_bits": total_bits,
+            "payload_frames": -(-total_bits // cap_bits),
+        }))
+        return 0
     print(f"video: {reader.info.width}x{reader.info.height} @ "
           f"{reader.info.fps:.3g} fps; capacity {cap_bits} bits/frame "
           f"(delta={cfg.delta}, coeffs={cfg.num_ac_coeffs})")
@@ -507,6 +533,16 @@ def cmd_steganalyze(args) -> int:
 
     gray = read_gray_frames(args.video, args.max_frames)
     rep = analyze_frames(gray, num_ac=args.coeffs)
+    if getattr(args, "json", False):
+        out = {"verdict": rep.verdict, "detected": rep.detected,
+               "detection_ratio": round(rep.detection_ratio, 3),
+               "background_score": round(rep.background, 4)}
+        if rep.detected:
+            out["estimated_delta"] = int(rep.best_delta)
+            out["lattice_score"] = round(rep.best_score, 4)
+            out["estimated_num_ac"] = int(estimate_num_ac(gray, rep.best_delta))
+        print(json.dumps(out))
+        return 0
     print(f"verdict: {rep.verdict} "
           f"(detection ratio {rep.detection_ratio:.1f}x over background)")
     if rep.detected:
@@ -717,6 +753,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("capacity", help="embedding capacity of a cover video")
     c.add_argument("video")
+    c.add_argument("--json", action="store_true", help="one-line JSON output")
     _add_qim_flags(c)
     c.set_defaults(fn=cmd_capacity)
 
@@ -734,6 +771,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("inspect", help="parse a stego header without decrypting")
     i.add_argument("stego", help="stego video path")
+    i.add_argument("--json", action="store_true", help="one-line JSON output")
     _add_qim_flags(i)
     i.set_defaults(fn=cmd_inspect)
 
@@ -742,6 +780,7 @@ def build_parser() -> argparse.ArgumentParser:
     z.add_argument("video")
     z.add_argument("--coeffs", type=int, default=10)
     z.add_argument("--max-frames", type=int, default=4)
+    z.add_argument("--json", action="store_true", help="one-line JSON output")
     z.set_defaults(fn=cmd_steganalyze)
 
     s = sub.add_parser("selftest", help="one-command end-to-end smoke test")

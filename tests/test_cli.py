@@ -186,3 +186,33 @@ def test_cli_extract_batch(tmp_path, monkeypatch, capsys):
                  "--out-dir", "out2", "--delta", "19"]) == 1
     err = capsys.readouterr().err
     assert "FAILED" in err
+
+
+def test_cli_json_outputs(tmp_path, monkeypatch, capsys):
+    """capacity/inspect/steganalyze --json emit one parseable JSON line
+    (the scripting surface)."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["genkey"]) == 0
+    from stegotpu import fixtures
+
+    # secret sized to saturate a full frame so steganalysis sees every slot
+    fixtures.make_secret_image("s.png", 48, 48, kind="pattern")
+    fixtures.make_cover_video("c.mp4", 320, 240, frames=6, kind="moving")
+    assert main(["embed", "c.mp4", "s.png", "st"]) == 0
+    capsys.readouterr()
+
+    assert main(["capacity", "c.mp4", "--json"]) == 0
+    cap = json.loads(capsys.readouterr().out)
+    assert cap["qim_bits_per_frame"] == (240 // 8) * (320 // 8) * 10
+
+    assert main(["inspect", "st.avi", "--json"]) == 0
+    ins = json.loads(capsys.readouterr().out)
+    assert ins["secret_width"] == 48 and ins["payload_type"] == "image"
+    assert ins["ciphertext_bytes"] == 48 * 48
+
+    assert main(["steganalyze", "st.avi", "--json"]) == 0
+    stz = json.loads(capsys.readouterr().out)
+    assert stz["detected"] and stz["estimated_delta"] == 20
+    assert stz["estimated_num_ac"] == 10
