@@ -130,6 +130,7 @@ def main() -> None:
 
     stage["decode_both"] = best2(_decode_rate("read_batch_both"))
     stage["decode_gray"] = best2(_decode_rate("read_batch_gray"))
+    stage["decode_bgr"] = best2(_decode_rate("read_batch"))
 
     cfg = StegoConfig()
     cap = cfg.frame_capacity_bits(H, W)
@@ -217,9 +218,14 @@ def main() -> None:
                 dev_weight / stage[f"encode_{codec}_stego"]
                 + (1 - dev_weight) / stage[f"encode_{codec}_clean"]
             )
+            # the pipeline's GraySwitch decodes BGR-only once the payload
+            # completes, so the decode ideal mixes both/bgr the same way
+            dec = 1.0 / (
+                dev_weight / stage["decode_both"]
+                + (1 - dev_weight) / stage["decode_bgr"]
+            )
             serial, overlap = ideals(
-                [stage["decode_both"], stage["device_embed"] / max(dev_weight, 1e-9),
-                 enc]
+                [dec, stage["device_embed"] / max(dev_weight, 1e-9), enc]
             )
             ideal = serial if ncores == 1 else overlap
             bottleneck = max(timer.totals, key=timer.totals.get)
