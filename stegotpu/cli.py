@@ -434,6 +434,13 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from stegotpu.server import serve
+
+    serve(args.host, args.port)
+    return 0
+
+
 def cmd_inspect(args) -> int:
     """Parse a stego video's embedded header WITHOUT decrypting.
 
@@ -768,6 +775,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="run the headline device benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    sv = sub.add_parser(
+        "serve",
+        help="warm-process JSON-over-HTTP daemon (localhost pipelines)")
+    sv.add_argument("--host", default="127.0.0.1",
+                    help="bind address (default localhost only — the API "
+                         "reads/writes server-side paths, unauthenticated)")
+    sv.add_argument("--port", type=int, default=8752)
+    sv.set_defaults(fn=cmd_serve)
 
     i = sub.add_parser("inspect", help="parse a stego header without decrypting")
     i.add_argument("stego", help="stego video path")

@@ -1,0 +1,222 @@
+"""Local HTTP serving daemon: warm-process embed/extract over JSON.
+
+The compile-once/run-many advantage of the jitted kernels only pays inside
+one process; `stegotpu serve` keeps that process alive and exposes the
+pipelines to local tooling as a tiny JSON-over-HTTP API (stdlib only):
+
+    POST /embed    {"cover": ..., "secret": ..., "output": ...,
+                    "delta": 20, "coeffs": 10, "codec": "FFV1",
+                    "verified": false, "public_key": "bob_public_key.pem"}
+    POST /extract  {"stego": ..., "output": ...,
+                    "delta": 20, "coeffs": 10,
+                    "private_key": "bob_private_key.pem"}
+    POST /inspect  {"stego": ..., "delta": 20, "coeffs": 10}
+    GET  /healthz
+
+All paths are SERVER-side filesystem paths: this is a localhost daemon for
+pipelines/fleet tooling (bind 127.0.0.1 by default), not an internet
+service — it performs no authentication and reads/writes the local disk on
+request. Requests are serialized through one worker lock: jit caches are
+shared and the host codec is the bottleneck anyway (BASELINE.md), so
+concurrency belongs at the process/file level (embed-batch --jobs), not
+inside the daemon.
+
+No reference analogue (the reference's interactive surface is the Tk GUI,
+app.py); this is the TPU build's production-serving counterpart.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from stegotpu.config import StegoConfig
+from stegotpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+_MAX_BODY = 1 << 20  # JSON control messages only; files travel by path
+
+
+def _config_from(req: dict) -> StegoConfig:
+    return StegoConfig(
+        delta=int(req.get("delta", 20)),
+        num_ac_coeffs=int(req.get("coeffs", 10)),
+        kernel=req.get("kernel", "auto"),
+        codec=req.get("codec", "FFV1"),
+        verified_embed=bool(req.get("verified", False)),
+        allow_residual=bool(req.get("allow_residual", False)),
+    )
+
+
+def _do_embed(req: dict) -> dict:
+    from stegotpu import crypto
+    from stegotpu.pipeline import embed_image_in_video
+
+    pub = crypto.serialize_public_compressed(
+        crypto.load_public_pem(req.get("public_key", "bob_public_key.pem")))
+    res = embed_image_in_video(
+        req["cover"], req["secret"], req["output"], pub, _config_from(req),
+        batch_frames=int(req.get("batch", 8)),
+    )
+    out = {
+        "success": res.success,
+        "output_path": res.output_path,
+        "payload_bits": res.total_payload_bits,
+        "bits_embedded": res.bits_embedded,
+        "frames_used": res.frames_used,
+        "residual_bits": res.residual_bits,
+    }
+    psnr = res.first_frame_psnr
+    if psnr is not None:
+        out["first_frame_psnr_db"] = round(psnr, 2)
+    return out
+
+
+def _do_extract(req: dict) -> dict:
+    from stegotpu import crypto
+    from stegotpu.pipeline import extract_image_from_video
+
+    priv = crypto.load_private_pem(
+        req.get("private_key", "bob_private_key.pem"))
+    res = extract_image_from_video(
+        req["stego"], priv, _config_from(req), req.get("output"),
+        batch_frames=int(req.get("batch", 8)),
+    )
+    out = {
+        "success": res.success,
+        "hash_ok": res.hash_ok,
+        "output_path": res.output_path,
+        "frames_read": res.frames_read,
+    }
+    if res.error:
+        out["error"] = res.error
+    if res.success and not res.is_raw_data:
+        out["secret_width"] = res.parts.secret_width
+        out["secret_height"] = res.parts.secret_height
+    if res.success and res.is_raw_data:
+        out["raw_bytes"] = len(res.data)
+    return out
+
+
+def _do_inspect(req: dict) -> dict:
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from stegotpu import payload as payload_mod
+    from stegotpu.ops.dispatch import extract_fn
+    from stegotpu.video import VideoReader
+
+    cfg = _config_from(req)
+    with VideoReader(req["stego"]) as reader:
+        h8, w8 = reader.info.cropped
+        cap_bits = cfg.frame_capacity_bits(h8, w8)
+        collected: list[np.ndarray] = []
+        parsed = None
+        while sum(c.size for c in collected) < payload_mod.max_header_bits(
+                cfg.dims_bits):
+            gray = reader.batches(1, mode="gray")
+            batch = next(gray, None)
+            if batch is None:
+                break
+            bits = np.asarray(
+                extract_fn(cfg.kernel, h8, w8)(
+                    jnp.asarray(batch), jnp.float32(cfg.delta),
+                    cfg.num_ac_coeffs)
+            ).reshape(-1)
+            collected.append(bits)
+            try:
+                parsed = payload_mod.parse_header_bits(
+                    np.concatenate(collected), cfg.dims_bits)
+                break
+            except payload_mod.NeedMoreBits:
+                continue
+    if parsed is None:
+        return {"success": False,
+                "error": "no parseable header (wrong delta/coeffs?)"}
+    parts, ct_len, header_bits = parsed
+    total_bits = header_bits + 8 * ct_len
+    return {
+        "success": True,
+        "payload_type": "raw_data" if parts.is_raw_data else "image",
+        "secret_width": parts.secret_width,
+        "secret_height": parts.secret_height,
+        "ciphertext_bytes": ct_len,
+        "total_payload_bits": total_bits,
+        "payload_frames": -(-total_bits // cap_bits),
+        "sha3_256": parts.sha3_hash.hex(),
+    }
+
+
+_ROUTES = {"/embed": _do_embed, "/extract": _do_extract,
+           "/inspect": _do_inspect}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "stegotpu"
+    _lock = threading.Lock()  # one pipeline at a time (see module docstring)
+
+    def log_message(self, fmt, *args):  # route through our logger
+        log.debug("http: " + fmt, *args)
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._reply(200, {"ok": True, "endpoints": sorted(_ROUTES)})
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        handler = _ROUTES.get(self.path)
+        if handler is None:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            if length > _MAX_BODY:
+                self._reply(413, {"error": "request body too large"})
+                return
+            req = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(req, dict):
+                raise ValueError("request body must be a JSON object")
+            with self._lock:
+                out = handler(req)
+            self._reply(200 if out.get("success", True) else 422, out)
+        except KeyError as e:
+            self._reply(400, {"error": f"missing required field: {e}"})
+        except (OSError, ValueError) as e:
+            self._reply(400, {"error": str(e)})
+        except Exception as e:  # surface, don't kill the daemon thread
+            log.exception("unhandled server error")
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; port 0 picks a free port."""
+    return ThreadingHTTPServer((host, port), _Handler)
+
+
+def serve(host: str = "127.0.0.1", port: int = 8752) -> None:
+    """Blocking entry point (the CLI's `serve` subcommand)."""
+    from stegotpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    srv = make_server(host, port)
+    log.info("serving on http://%s:%d (endpoints: %s)", host,
+             srv.server_address[1], ", ".join(sorted(_ROUTES)) + ", /healthz")
+    print(f"stegotpu serving on http://{host}:{srv.server_address[1]}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()

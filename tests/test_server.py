@@ -1,0 +1,85 @@
+"""Serving daemon: warm-process embed/extract/inspect over local HTTP.
+
+Runs make_server() in-process on a free port; requests use stdlib urllib.
+Covers the success path (embed -> inspect -> extract, pixel identity), the
+structured-error paths (bad delta -> 422, missing field -> 400, unknown
+route -> 404), and that the daemon survives request errors.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from stegotpu import crypto, fixtures
+from stegotpu.image import load_image_gray
+from stegotpu.server import make_server
+
+
+@pytest.fixture
+def server():
+    srv = make_server(port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def _post(base, path, payload):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_serve_embed_inspect_extract_roundtrip(server, tmp_path):
+    fixtures.make_secret_image(tmp_path / "s.png", 24, 24, kind="noise", seed=2)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 160, 128, frames=8,
+                              kind="moving", seed=3)
+    crypto.setup_receiver_keys(tmp_path / "k.pem", tmp_path / "p.pem")
+
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["ok"]
+
+    code, out = _post(server, "/embed", {
+        "cover": str(tmp_path / "c.mp4"), "secret": str(tmp_path / "s.png"),
+        "output": str(tmp_path / "st"), "public_key": str(tmp_path / "p.pem"),
+    })
+    assert code == 200 and out["success"], out
+    assert out["frames_used"] == 8 and out["first_frame_psnr_db"] > 25
+
+    code, out = _post(server, "/inspect", {"stego": str(tmp_path / "st.avi")})
+    assert code == 200 and out["payload_type"] == "image"
+    assert (out["secret_width"], out["secret_height"]) == (24, 24)
+
+    code, out = _post(server, "/extract", {
+        "stego": str(tmp_path / "st.avi"), "output": str(tmp_path / "out.png"),
+        "private_key": str(tmp_path / "k.pem"),
+    })
+    assert code == 200 and out["success"] and out["hash_ok"], out
+    np.testing.assert_array_equal(load_image_gray(tmp_path / "out.png"),
+                                  load_image_gray(tmp_path / "s.png"))
+
+    # wrong delta: structured 422, daemon stays alive
+    code, out = _post(server, "/extract", {
+        "stego": str(tmp_path / "st.avi"),
+        "private_key": str(tmp_path / "k.pem"), "delta": 19,
+    })
+    assert code == 422 and not out["success"] and "error" in out
+
+    # missing field -> 400; unknown route -> 404; still healthy after all
+    code, out = _post(server, "/embed", {
+        "secret": "x.png", "public_key": str(tmp_path / "p.pem")})
+    assert code == 400 and "missing required field" in out["error"]
+    code, _ = _post(server, "/nope", {})
+    assert code == 404
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        assert r.status == 200
