@@ -12,14 +12,15 @@ compute path redesigned TPU-first:
   Pallas kernel that transforms only the payload-slot coefficient rows and
   applies QIM as a sparse delta in one HBM pass; portably, a blockify ->
   64x64 Kronecker DCT matmul formulation on the MXU;
-- frame-axis data parallelism scales over a ``jax.sharding.Mesh``
+- frame-axis data parallelism scales over a ``jax.sharding.Mesh``, and
+  across hosts via ``jax.distributed`` with per-host frame-range segments
   (``stegotpu.parallel``);
 - crypto and payload framing stay host-side (``stegotpu.crypto``,
   ``stegotpu.payload``);
 - PSNR/SSIM/BER run as jitted on-device reductions (``stegotpu.metrics``).
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from stegotpu.config import StegoConfig  # noqa: F401
 from stegotpu.pipeline import (  # noqa: F401
