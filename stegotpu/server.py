@@ -11,6 +11,8 @@ pipelines to local tooling as a tiny JSON-over-HTTP API (stdlib only):
                     "delta": 20, "coeffs": 10,
                     "private_key": "bob_private_key.pem"}
     POST /inspect  {"stego": ..., "delta": 20, "coeffs": 10}
+    POST /capacity {"video": ..., "delta": 20, "coeffs": 10}
+    POST /steganalyze {"video": ..., "coeffs": 10, "max_frames": 4}
     GET  /healthz
 
 All paths are SERVER-side filesystem paths: this is a localhost daemon for
@@ -150,8 +152,36 @@ def _do_inspect(req: dict) -> dict:
     }
 
 
+def _do_capacity(req: dict) -> dict:
+    from stegotpu.evaluation import capacity_report
+
+    r = capacity_report(req["video"], _config_from(req))
+    return {"success": True, "width": r.width, "height": r.height,
+            "frames": r.frames, "qim_bits_per_frame": r.qim_bits_per_frame,
+            "total_qim_bits": r.total_qim_bits,
+            "max_secret_pixels": r.max_secret_pixels}
+
+
+def _do_steganalyze(req: dict) -> dict:
+    from stegotpu.steganalysis import (
+        analyze_frames,
+        estimate_num_ac,
+        read_gray_frames,
+    )
+
+    gray = read_gray_frames(req["video"], int(req.get("max_frames", 4)))
+    rep = analyze_frames(gray, num_ac=int(req.get("coeffs", 10)))
+    out = {"success": True, "verdict": rep.verdict, "detected": rep.detected,
+           "detection_ratio": round(rep.detection_ratio, 3)}
+    if rep.detected:
+        out["estimated_delta"] = int(rep.best_delta)
+        out["estimated_num_ac"] = int(estimate_num_ac(gray, rep.best_delta))
+    return out
+
+
 _ROUTES = {"/embed": _do_embed, "/extract": _do_extract,
-           "/inspect": _do_inspect}
+           "/inspect": _do_inspect, "/capacity": _do_capacity,
+           "/steganalyze": _do_steganalyze}
 
 
 class _Handler(BaseHTTPRequestHandler):

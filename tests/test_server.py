@@ -83,3 +83,22 @@ def test_serve_embed_inspect_extract_roundtrip(server, tmp_path):
     assert code == 404
     with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
         assert r.status == 200
+
+
+def test_serve_capacity_and_steganalyze(server, tmp_path):
+    fixtures.make_secret_image(tmp_path / "s.png", 48, 48, kind="noise", seed=2)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 320, 240, frames=6,
+                              kind="moving", seed=3)
+    crypto.setup_receiver_keys(tmp_path / "k.pem", tmp_path / "p.pem")
+    code, out = _post(server, "/capacity", {"video": str(tmp_path / "c.mp4")})
+    assert code == 200 and out["qim_bits_per_frame"] == 30 * 40 * 10
+
+    code, out = _post(server, "/embed", {
+        "cover": str(tmp_path / "c.mp4"), "secret": str(tmp_path / "s.png"),
+        "output": str(tmp_path / "st"), "public_key": str(tmp_path / "p.pem"),
+    })
+    assert code == 200 and out["success"]
+    code, out = _post(server, "/steganalyze",
+                      {"video": str(tmp_path / "st.avi")})
+    assert code == 200 and out["detected"]
+    assert out["estimated_delta"] == 20
