@@ -252,11 +252,27 @@ def cmd_dist_embed(args) -> int:
     _dist_init(args)
     from stegotpu.parallel.dist_pipeline import distributed_embed
 
+    mesh = None
+    if getattr(args, "mesh", None):
+        # per-host mesh over THIS process's local devices (the global
+        # scatter across hosts is the frame-range segmentation)
+        import jax
+
+        from stegotpu.parallel.mesh import make_mesh, parse_mesh_spec
+
+        n_data, n_space = parse_mesh_spec(args.mesh)
+        local = jax.local_devices()
+        if n_data * n_space > len(local):
+            print(f"error: mesh {args.mesh!r} needs {n_data * n_space} local "
+                  f"devices but this process has {len(local)}",
+                  file=sys.stderr)
+            return 1
+        mesh = make_mesh(n_data, n_space, local)
     pub = crypto.serialize_public_compressed(crypto.load_public_pem(args.public_key))
     rng = np.random.default_rng(args.seed) if args.seed is not None else None
     res = distributed_embed(args.cover, args.secret, args.output, pub,
                             _config_from_args(args), batch_frames=args.batch,
-                            rng=rng)
+                            rng=rng, mesh=mesh)
     if res is None:  # non-zero rank: its segment status was logged
         return 0
     if not res.success:
@@ -711,6 +727,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="closed-loop embed repair per segment (BER=0 even "
                          "on saturated covers)")
     de.add_argument("--allow-residual", action="store_true")
+    de.add_argument("--mesh", default=None, metavar="data=N,space=M",
+                    help="PER-HOST device mesh for each segment (local "
+                         "devices; the cross-host scatter is the segment "
+                         "split)")
     _add_dist_flags(de)
     _add_codec_flag(de)
     de.set_defaults(fn=cmd_dist_embed)

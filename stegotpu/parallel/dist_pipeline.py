@@ -76,10 +76,16 @@ def distributed_embed(
     config: StegoConfig = StegoConfig(),
     batch_frames: int = 8,
     rng=None,
+    mesh=None,
 ) -> "EmbedResult | None":
     """Cooperative multi-process embed; call in EVERY process of an
     initialized jax.distributed cluster. Returns the final EmbedResult on
-    process 0 and None elsewhere (segment results are logged per host)."""
+    process 0 and None elsewhere (segment results are logged per host).
+
+    mesh: optional PER-HOST ('data','space') mesh over this process's
+    LOCAL devices — the full hierarchy: frame-range segments across hosts
+    (DCN-free), frames x block-rows across each host's chips (ICI).
+    """
     from jax.experimental import multihost_utils
 
     from stegotpu.pipeline import EmbedResult, _embed_payload
@@ -112,7 +118,7 @@ def distributed_embed(
             seg_res = _embed_payload(
                 video_in, img_bytes, width, height, seg_path,
                 receiver_pub_compressed, config, batch_frames,
-                frame_range=(lo, hi), sealed_bits=all_bits,
+                mesh=mesh, frame_range=(lo, hi), sealed_bits=all_bits,
             )
             log.info("segment %d/%d: frames [%d, %s) -> %s (%d bits in)",
                      pid, nproc, lo, hi if hi is not None else "EOF",

@@ -123,3 +123,46 @@ def test_segment_bounds():
     assert segment_bounds(4, 3, 4) == [(0, 4), (4, 4), (4, None)]
     with pytest.raises(ValueError):
         segment_bounds(0, 2, 4)
+
+
+def test_dist_embed_with_per_host_mesh_and_hfyu(tmp_path):
+    """The full hierarchy: frame-range segments across 2 processes x a
+    ('data','space') mesh over each process's 4 local virtual devices —
+    with the HFYU codec exercising the packet concat on a second codec.
+    Output must extract single-process, pixel-identically."""
+    d = tmp_path
+    fixtures.make_secret_image(d / "s.png", 56, 56, kind="noise", seed=3)
+    fixtures.make_cover_video(d / "c.mp4", 160, 128, frames=12,
+                              kind="moving", seed=4)
+    priv, pub_c = crypto.setup_receiver_keys(d / "k.pem", d / "p.pem")
+
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               PYTHONPATH=str(REPO))
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "stegotpu.cli", "--platform", "cpu",
+         "dist-embed", str(d / "c.mp4"), str(d / "s.png"), str(d / "st"),
+         "--public-key", str(d / "p.pem"), "--seed", "5", "--batch", "4",
+         "--codec", "HFYU", "--mesh", "data=2,space=2",
+         "--coordinator", f"127.0.0.1:{port}",
+         "--num-processes", "2", "--process-id", str(pid)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("mesh dist worker timed out")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+
+    from stegotpu.pipeline import extract_image_from_video
+
+    ext = extract_image_from_video(d / "st.avi", priv, StegoConfig())
+    assert ext.success and ext.hash_ok, ext.error
+    np.testing.assert_array_equal(ext.pixels, load_image_gray(d / "s.png"))
