@@ -252,27 +252,14 @@ def cmd_dist_embed(args) -> int:
     _dist_init(args)
     from stegotpu.parallel.dist_pipeline import distributed_embed
 
-    mesh = None
-    if getattr(args, "mesh", None):
-        # per-host mesh over THIS process's local devices (the global
-        # scatter across hosts is the frame-range segmentation)
-        import jax
-
-        from stegotpu.parallel.mesh import make_mesh, parse_mesh_spec
-
-        n_data, n_space = parse_mesh_spec(args.mesh)
-        local = jax.local_devices()
-        if n_data * n_space > len(local):
-            print(f"error: mesh {args.mesh!r} needs {n_data * n_space} local "
-                  f"devices but this process has {len(local)}",
-                  file=sys.stderr)
-            return 1
-        mesh = make_mesh(n_data, n_space, local)
     pub = crypto.serialize_public_compressed(crypto.load_public_pem(args.public_key))
     rng = np.random.default_rng(args.seed) if args.seed is not None else None
+    # the mesh spec resolves INSIDE distributed_embed so a host whose
+    # devices can't satisfy it still joins the preflight collective (an
+    # early local exit here would hang every peer)
     res = distributed_embed(args.cover, args.secret, args.output, pub,
                             _config_from_args(args), batch_frames=args.batch,
-                            rng=rng, mesh=mesh)
+                            rng=rng, mesh_spec=getattr(args, "mesh", None))
     if res is None:  # non-zero rank: its segment status was logged
         return 0
     if not res.success:
@@ -466,82 +453,34 @@ def cmd_inspect(args) -> int:
     so it works on videos whose ciphertext spans arbitrarily many frames (or
     is truncated).
     """
-    from stegotpu import payload as payload_mod
-    from stegotpu.ops.color import bgr_to_gray_np
-    from stegotpu.ops.dispatch import extract_fn
-    from stegotpu.video import VideoReader
+    from stegotpu.pipeline import inspect_stego_header
 
-    import jax.numpy as jnp
-    import numpy as np
-
-    cfg = _config_from_args(args)
-    with VideoReader(args.stego) as reader:
-        h8, w8 = reader.info.cropped
-        cap_bits = cfg.frame_capacity_bits(h8, w8)
-        collected: list[np.ndarray] = []
-        collected_bits = 0
-        parsed = None
-        while collected_bits < payload_mod.max_header_bits(cfg.dims_bits):
-            frame = reader.read_frame()
-            if frame is None:
-                break
-            gray = bgr_to_gray_np(frame)[None]
-            bits = np.asarray(
-                extract_fn(cfg.kernel, h8, w8)(
-                    jnp.asarray(gray), jnp.float32(cfg.delta), cfg.num_ac_coeffs
-                )
-            ).reshape(-1)
-            collected.append(bits)
-            collected_bits += bits.size
-            try:
-                parsed = payload_mod.parse_header_bits(
-                    np.concatenate(collected), cfg.dims_bits
-                )
-                break
-            except payload_mod.NeedMoreBits:
-                continue  # tiny frames: header spans several
-            except ValueError as e:
-                print(f"header does not parse: {e}", file=sys.stderr)
-                print("likely wrong --delta/--coeffs or not a stego video",
-                      file=sys.stderr)
-                return 1
-    if parsed is None:
-        print("could not parse a payload header from the video", file=sys.stderr)
-        print("likely wrong --delta/--coeffs or not a stego video", file=sys.stderr)
+    try:
+        d = inspect_stego_header(args.stego, _config_from_args(args))
+    except ValueError as e:
+        print(f"header does not parse: {e}", file=sys.stderr)
+        print("likely wrong --delta/--coeffs or not a stego video",
+              file=sys.stderr)
         return 1
-    parts, ct_len, header_bits = parsed
-    total_bits = header_bits + 8 * ct_len
     if getattr(args, "json", False):
-        print(json.dumps({
-            "width": reader.info.width, "height": reader.info.height,
-            "fps": reader.info.fps, "capacity_bits_per_frame": cap_bits,
-            "delta": cfg.delta, "num_ac_coeffs": cfg.num_ac_coeffs,
-            "payload_type": "raw_data" if parts.is_raw_data else "image",
-            "secret_width": parts.secret_width,
-            "secret_height": parts.secret_height,
-            "sender_pub_bytes": len(parts.sender_pub_compressed),
-            "hkdf_salt_bytes": len(parts.hkdf_salt),
-            "nonce_bytes": len(parts.nonce), "tag_bytes": len(parts.tag),
-            "sha3_256": parts.sha3_hash.hex(),
-            "ciphertext_bytes": ct_len, "total_payload_bits": total_bits,
-            "payload_frames": -(-total_bits // cap_bits),
-        }))
+        print(json.dumps(d))
         return 0
-    print(f"video: {reader.info.width}x{reader.info.height} @ "
-          f"{reader.info.fps:.3g} fps; capacity {cap_bits} bits/frame "
-          f"(delta={cfg.delta}, coeffs={cfg.num_ac_coeffs})")
-    if parts.is_raw_data:
+    print(f"video: {d['width']}x{d['height']} @ {d['fps']:.3g} fps; "
+          f"capacity {d['capacity_bits_per_frame']} bits/frame "
+          f"(delta={d['delta']}, coeffs={d['num_ac_coeffs']})")
+    if d["payload_type"] == "raw_data":
         print("payload type: raw data (extension mode)")
     else:
-        print(f"secret image: {parts.secret_width}x{parts.secret_height} grayscale")
-    print(f"ephemeral sender pubkey: {len(parts.sender_pub_compressed)} bytes "
-          f"(prefix 0x{parts.sender_pub_compressed[:1].hex()})")
-    print(f"HKDF salt: {len(parts.hkdf_salt)} bytes; "
-          f"GCM nonce: {len(parts.nonce)} bytes; tag: {len(parts.tag)} bytes")
-    print(f"SHA3-256 digest: {parts.sha3_hash.hex()}")
-    print(f"ciphertext: {ct_len} bytes")
-    print(f"total payload: {total_bits} bits across "
-          f"{-(-total_bits // cap_bits)} frame(s)")
+        print(f"secret image: {d['secret_width']}x{d['secret_height']} "
+              "grayscale")
+    print(f"ephemeral sender pubkey: {d['sender_pub_bytes']} bytes "
+          f"(prefix 0x{d['sender_pub_prefix']})")
+    print(f"HKDF salt: {d['hkdf_salt_bytes']} bytes; "
+          f"GCM nonce: {d['nonce_bytes']} bytes; tag: {d['tag_bytes']} bytes")
+    print(f"SHA3-256 digest: {d['sha3_256']}")
+    print(f"ciphertext: {d['ciphertext_bytes']} bytes")
+    print(f"total payload: {d['total_payload_bits']} bits across "
+          f"{d['payload_frames']} frame(s)")
     return 0
 
 

@@ -76,15 +76,18 @@ def distributed_embed(
     config: StegoConfig = StegoConfig(),
     batch_frames: int = 8,
     rng=None,
-    mesh=None,
+    mesh_spec: str | None = None,
 ) -> "EmbedResult | None":
     """Cooperative multi-process embed; call in EVERY process of an
     initialized jax.distributed cluster. Returns the final EmbedResult on
     process 0 and None elsewhere (segment results are logged per host).
 
-    mesh: optional PER-HOST ('data','space') mesh over this process's
+    mesh_spec: optional 'data=N,space=M' PER-HOST mesh over this process's
     LOCAL devices — the full hierarchy: frame-range segments across hosts
-    (DCN-free), frames x block-rows across each host's chips (ICI).
+    (DCN-free), frames x block-rows across each host's chips (ICI). The
+    spec is resolved here (not by the caller) so a host whose devices
+    don't satisfy it still joins the preflight collective below instead of
+    leaving its peers hanging.
     """
     from jax.experimental import multihost_utils
 
@@ -92,6 +95,29 @@ def distributed_embed(
     from stegotpu.video import VideoReader, force_avi_path
 
     nproc, pid = jax.process_count(), jax.process_index()
+    mesh = None
+    preflight_error: Exception | None = None
+    if mesh_spec:
+        try:
+            from stegotpu.parallel.mesh import product_mesh
+
+            mesh = product_mesh(mesh_spec, devices=jax.local_devices())
+            # the mesh data axis rounds the batch up (pipeline._mesh_setup);
+            # that MUST happen before segment bounds are computed, or
+            # batches straddle segment boundaries and frames duplicate
+            n_data = mesh.shape["data"]
+            batch_frames = -(-batch_frames // n_data) * n_data
+        except ValueError as e:
+            preflight_error = e
+    # preflight agreement: every host must have a usable config before any
+    # host starts work (a pre-collective exit would hang the others)
+    ok_pre = np.asarray(multihost_utils.process_allgather(
+        np.int32(0 if preflight_error is not None else 1)))
+    if int(ok_pre.min()) == 0:
+        if preflight_error is not None:
+            raise preflight_error
+        return (EmbedResult(False, None, 0, 0, 0) if pid == 0 else None)
+
     width, height, img_bits = image_to_bits(secret_image)
     img_bytes = bits_to_bytes(img_bits)
     all_bits, _ = payload_mod.seal_payload(
@@ -123,7 +149,7 @@ def distributed_embed(
             log.info("segment %d/%d: frames [%d, %s) -> %s (%d bits in)",
                      pid, nproc, lo, hi if hi is not None else "EOF",
                      seg_path, seg_res.bits_embedded)
-        except (OSError, ValueError) as e:
+        except Exception as e:  # incl. device/runtime errors from the mesh
             seg_error = e
             seg_res = EmbedResult(False, None, int(all_bits.size), 0, 0)
             log.error("segment %d/%d failed: %s", pid, nproc, e)
@@ -139,9 +165,9 @@ def distributed_embed(
     cursor_global = int(stats[:, 1].max())
     multihost_utils.sync_global_devices("stegotpu-dist-embed-segments")
 
-    if seg_error is not None:
-        raise seg_error  # after the collectives: peers are not left hanging
     if pid != 0:
+        if seg_error is not None:
+            raise seg_error  # after the collectives: peers not left hanging
         return None
     total = int(all_bits.size)
     segs = [str(out_path.with_suffix(f".seg{i}.avi")) for i in range(nproc)
@@ -153,6 +179,8 @@ def distributed_embed(
             "removing segments", cursor_global, total, ok_all)
         for s in segs:
             Path(s).unlink(missing_ok=True)
+        if seg_error is not None:  # cleanup happened first; now surface it
+            raise seg_error
         return EmbedResult(False, None, total, cursor_global, frame_count)
     from stegotpu.native.videoio import concat_videos
 
@@ -217,22 +245,23 @@ def distributed_extract(
             while len(buf) < n_frames and not exhausted:
                 try:
                     gray = next(batches_iter, None)
-                except OSError as e:
-                    log.error("segment decode failed mid-round: %s", e)
-                    exhausted = True
+                    if gray is None or seen >= hi_eff:
+                        exhausted = True
+                        break
+                    n = gray.shape[0]
+                    if seen + n <= lo:  # pre-segment: decode and discard
+                        seen += n
+                        continue
+                    if n < batch_frames:
+                        gray = np.concatenate(
+                            [gray,
+                             np.zeros((batch_frames - n, h8, w8), np.uint8)])
+                    bits = np.asarray(xfn(jnp.asarray(gray), delta,
+                                          config.num_ac_coeffs))[:n]
+                except Exception as e:  # decode OR device error: stay in
+                    log.error("segment read failed mid-round: %s", e)
+                    exhausted = True  # ...the round protocol, peers go on
                     break
-                if gray is None or seen >= hi_eff:
-                    exhausted = True
-                    break
-                n = gray.shape[0]
-                if seen + n <= lo:  # pre-segment: decode and discard
-                    seen += n
-                    continue
-                if n < batch_frames:
-                    gray = np.concatenate(
-                        [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)])
-                bits = np.asarray(xfn(jnp.asarray(gray), delta,
-                                      config.num_ac_coeffs))[:n]
                 keep = min(n, hi_eff - seen)
                 buf.extend(bits[:keep])
                 seen += n

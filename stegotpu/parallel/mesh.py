@@ -92,11 +92,13 @@ def parse_mesh_spec(spec: str) -> tuple[int, int]:
     return n_data, n_space
 
 
-def product_mesh(spec: str) -> Mesh:
+def product_mesh(spec: str, devices=None) -> Mesh:
     """Build the ('data', 'space') mesh a --mesh flag names, with a clear
-    error when the host lacks the devices."""
+    error when the host lacks the devices. devices defaults to all of this
+    process's visible devices; pass jax.local_devices() for a per-host
+    mesh in multi-process runs."""
     n_data, n_space = parse_mesh_spec(spec)
-    devices = jax.devices()
+    devices = list(devices) if devices is not None else jax.devices()
     if n_data * n_space > len(devices):
         raise ValueError(
             f"mesh {spec!r} needs {n_data * n_space} devices but only "

@@ -540,6 +540,66 @@ def extract_image_from_video(
                          output_path=out_path, frames_read=frames_read)
 
 
+def inspect_stego_header(
+    stego_video: str | Path,
+    config: StegoConfig = StegoConfig(),
+) -> dict:
+    """Parse a stego video's embedded header WITHOUT decrypting.
+
+    Returns the public payload fields (everything the format reveals to
+    someone who knows delta/num_ac but holds no key) as a dict — the
+    single implementation behind both `stegotpu inspect` and the serving
+    daemon's /inspect. Raises ValueError when no header parses (wrong
+    delta/coeffs or not a stego video).
+    """
+    cfg = config
+    with VideoReader(stego_video) as reader:
+        h8, w8 = reader.info.cropped
+        cap_bits = cfg.frame_capacity_bits(h8, w8)
+        collected: list[np.ndarray] = []
+        collected_bits = 0
+        parsed = None
+        # bound the scan: a non-stego video must not be decoded end to end
+        limit = payload_mod.max_header_bits(cfg.dims_bits)
+        for gray in reader.batches(1, mode="gray"):
+            bits = np.asarray(
+                extract_fn(cfg.kernel, h8, w8)(
+                    jnp.asarray(gray), jnp.float32(cfg.delta),
+                    cfg.num_ac_coeffs)
+            ).reshape(-1)
+            collected.append(bits)
+            collected_bits += bits.size
+            try:
+                parsed = payload_mod.parse_header_bits(
+                    np.concatenate(collected), cfg.dims_bits)
+                break
+            except NeedMoreBits:
+                if collected_bits >= limit:
+                    break
+                continue  # tiny frames: header spans several
+        if parsed is None:
+            raise ValueError(
+                "no parseable payload header (wrong delta/coeffs or not a "
+                "stego video)")
+        parts, ct_len, header_bits = parsed
+        total_bits = header_bits + 8 * ct_len
+        return {
+            "width": reader.info.width, "height": reader.info.height,
+            "fps": reader.info.fps, "capacity_bits_per_frame": cap_bits,
+            "delta": cfg.delta, "num_ac_coeffs": cfg.num_ac_coeffs,
+            "payload_type": "raw_data" if parts.is_raw_data else "image",
+            "secret_width": parts.secret_width,
+            "secret_height": parts.secret_height,
+            "sender_pub_bytes": len(parts.sender_pub_compressed),
+            "sender_pub_prefix": parts.sender_pub_compressed[:1].hex(),
+            "hkdf_salt_bytes": len(parts.hkdf_salt),
+            "nonce_bytes": len(parts.nonce), "tag_bytes": len(parts.tag),
+            "sha3_256": parts.sha3_hash.hex(),
+            "ciphertext_bytes": ct_len, "total_payload_bits": total_bits,
+            "payload_frames": -(-total_bits // cap_bits),
+        }
+
+
 # Array-level API (no container round-trip) -----------------------------------
 
 def embed_payload_into_gray_frames(

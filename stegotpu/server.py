@@ -18,7 +18,11 @@ pipelines to local tooling as a tiny JSON-over-HTTP API (stdlib only):
 All paths are SERVER-side filesystem paths: this is a localhost daemon for
 pipelines/fleet tooling (bind 127.0.0.1 by default), not an internet
 service — it performs no authentication and reads/writes the local disk on
-request. Requests are serialized through one worker lock: jit caches are
+request. Two guards keep web pages from driving it cross-origin even on
+localhost: POSTs must carry Content-Type: application/json (a browser
+cannot send that without a CORS preflight, which this server never
+grants), and the Host header must name the bound address (blocks DNS
+rebinding). Requests are serialized through one worker lock: jit caches are
 shared and the host codec is the bottleneck anyway (BASELINE.md), so
 concurrency belongs at the process/file level (embed-batch --jobs), not
 inside the daemon.
@@ -103,53 +107,13 @@ def _do_extract(req: dict) -> dict:
 
 
 def _do_inspect(req: dict) -> dict:
-    import numpy as np
+    from stegotpu.pipeline import inspect_stego_header
 
-    import jax.numpy as jnp
-
-    from stegotpu import payload as payload_mod
-    from stegotpu.ops.dispatch import extract_fn
-    from stegotpu.video import VideoReader
-
-    cfg = _config_from(req)
-    with VideoReader(req["stego"]) as reader:
-        h8, w8 = reader.info.cropped
-        cap_bits = cfg.frame_capacity_bits(h8, w8)
-        collected: list[np.ndarray] = []
-        parsed = None
-        while sum(c.size for c in collected) < payload_mod.max_header_bits(
-                cfg.dims_bits):
-            gray = reader.batches(1, mode="gray")
-            batch = next(gray, None)
-            if batch is None:
-                break
-            bits = np.asarray(
-                extract_fn(cfg.kernel, h8, w8)(
-                    jnp.asarray(batch), jnp.float32(cfg.delta),
-                    cfg.num_ac_coeffs)
-            ).reshape(-1)
-            collected.append(bits)
-            try:
-                parsed = payload_mod.parse_header_bits(
-                    np.concatenate(collected), cfg.dims_bits)
-                break
-            except payload_mod.NeedMoreBits:
-                continue
-    if parsed is None:
-        return {"success": False,
-                "error": "no parseable header (wrong delta/coeffs?)"}
-    parts, ct_len, header_bits = parsed
-    total_bits = header_bits + 8 * ct_len
-    return {
-        "success": True,
-        "payload_type": "raw_data" if parts.is_raw_data else "image",
-        "secret_width": parts.secret_width,
-        "secret_height": parts.secret_height,
-        "ciphertext_bytes": ct_len,
-        "total_payload_bits": total_bits,
-        "payload_frames": -(-total_bits // cap_bits),
-        "sha3_256": parts.sha3_hash.hex(),
-    }
+    try:
+        d = inspect_stego_header(req["stego"], _config_from(req))
+    except ValueError as e:
+        return {"success": False, "error": str(e)}
+    return {"success": True, **d}
 
 
 def _do_capacity(req: dict) -> dict:
@@ -205,7 +169,24 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 
+    def _host_allowed(self) -> bool:
+        host = (self.headers.get("Host") or "").rsplit(":", 1)[0]
+        allowed = getattr(self.server, "allowed_hosts",
+                          {"127.0.0.1", "localhost", "[::1]"})
+        return host in allowed
+
     def do_POST(self):
+        # anti-DNS-rebinding: the Host header must name the bound address
+        if not self._host_allowed():
+            self._reply(403, {"error": "forbidden Host header"})
+            return
+        # browsers cannot send application/json cross-origin without a CORS
+        # preflight (never granted here) — this blocks malicious web pages
+        # from driving the daemon via "simple" no-preflight requests
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+        if ctype != "application/json":
+            self._reply(415, {"error": "Content-Type must be application/json"})
+            return
         handler = _ROUTES.get(self.path)
         if handler is None:
             self._reply(404, {"error": f"unknown path {self.path}"})
@@ -232,7 +213,9 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; port 0 picks a free port."""
-    return ThreadingHTTPServer((host, port), _Handler)
+    srv = ThreadingHTTPServer((host, port), _Handler)
+    srv.allowed_hosts = {host, "127.0.0.1", "localhost", "[::1]"}
+    return srv
 
 
 def serve(host: str = "127.0.0.1", port: int = 8752) -> None:

@@ -167,9 +167,12 @@ def analyze_frames(
     valid = np.asarray(counts) >= min_informative  # (K, B)
     per_frame = np.where(valid, np.asarray(per_frame), 0.0)
     scores = per_frame.max(axis=1)  # best frame per candidate delta
-    valid_rows = valid.any(axis=1)
-    background = float(np.median(scores[valid_rows])) if valid_rows.any() \
-        else float(np.median(scores))
+    # background = the TYPICAL (candidate, frame) alignment, not the best
+    # frame per candidate: a max-over-frames background is inflated by the
+    # payload frames themselves (the true delta's divisors score high
+    # there), which pushed borderline stegos below the ratio threshold
+    background = (float(np.median(per_frame[valid])) if valid.any()
+                  else float(np.median(per_frame)))
     best_idx = int(np.argmax(scores))
     best_score = float(scores[best_idx])
     # Large deltas blur the grid: at delta ~80 the ±eps*delta tolerance is

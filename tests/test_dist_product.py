@@ -166,3 +166,40 @@ def test_dist_embed_with_per_host_mesh_and_hfyu(tmp_path):
     ext = extract_image_from_video(d / "st.avi", priv, StegoConfig())
     assert ext.success and ext.hash_ok, ext.error
     np.testing.assert_array_equal(ext.pixels, load_image_gray(d / "s.png"))
+
+
+def test_dist_embed_mesh_batch_rounding(tmp_path):
+    """Regression: a mesh data axis that does not divide --batch rounds the
+    batch UP inside the pipeline; segment bounds must be computed with the
+    ROUNDED batch or batches straddle segment boundaries and frames
+    duplicate in the stitched output (extraction garbage)."""
+    d = tmp_path
+    fixtures.make_secret_image(d / "s.png", 64, 64, kind="noise", seed=3)
+    fixtures.make_cover_video(d / "c.mp4", 160, 128, frames=20,
+                              kind="moving", seed=4)
+    priv, pub_c = crypto.setup_receiver_keys(d / "k.pem", d / "p.pem")
+
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               PYTHONPATH=str(REPO))
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "stegotpu.cli", "--platform", "cpu",
+         "dist-embed", str(d / "c.mp4"), str(d / "s.png"), str(d / "st"),
+         "--public-key", str(d / "p.pem"), "--seed", "5", "--batch", "8",
+         "--mesh", "data=3",  # 3 does not divide 8 -> batch rounds to 9
+         "--coordinator", f"127.0.0.1:{port}",
+         "--num-processes", "2", "--process-id", str(pid)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+
+    from stegotpu.pipeline import extract_image_from_video
+
+    frames = _decode_all(d / "st.avi")
+    assert frames.shape[0] == 20  # no duplicated boundary frames
+    ext = extract_image_from_video(d / "st.avi", priv, StegoConfig())
+    assert ext.success and ext.hash_ok, ext.error
+    np.testing.assert_array_equal(ext.pixels, load_image_gray(d / "s.png"))

@@ -102,3 +102,23 @@ def test_serve_capacity_and_steganalyze(server, tmp_path):
                       {"video": str(tmp_path / "st.avi")})
     assert code == 200 and out["detected"]
     assert out["estimated_delta"] == 20
+
+
+def test_serve_rejects_cross_origin_shapes(server):
+    """Browser-reachable request shapes are refused: no/simple Content-Type
+    -> 415 (forces a CORS preflight that is never granted), foreign Host
+    header -> 403 (DNS rebinding)."""
+    req = urllib.request.Request(
+        server + "/inspect", data=b'{"stego":"x"}',
+        headers={"Content-Type": "text/plain"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 415
+
+    req = urllib.request.Request(
+        server + "/inspect", data=b'{"stego":"x"}',
+        headers={"Content-Type": "application/json",
+                 "Host": "evil.example.com"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 403
