@@ -203,3 +203,29 @@ def test_dist_embed_mesh_batch_rounding(tmp_path):
     ext = extract_image_from_video(d / "st.avi", priv, StegoConfig())
     assert ext.success and ext.hash_ok, ext.error
     np.testing.assert_array_equal(ext.pixels, load_image_gray(d / "s.png"))
+
+
+def test_dist_extract_payload_spans_both_segments(tmp_path):
+    """Tiny-capacity cover (64x64, 640 bits/frame): the payload needs ~5 of
+    8 frames, so the demand-driven extract rounds must pull bits from BOTH
+    hosts' segments ((0,4) and (4,EOF) at batch 2) before the parse
+    completes."""
+    d = tmp_path
+    fixtures.make_secret_image(d / "s.png", 16, 16, kind="noise", seed=7)
+    fixtures.make_cover_video(d / "c.mp4", 64, 64, frames=8,
+                              kind="moving", seed=8)
+    priv, pub_c = crypto.setup_receiver_keys(d / "k.pem", d / "p.pem")
+
+    outs = _run_all([
+        "dist-embed", str(d / "c.mp4"), str(d / "s.png"), str(d / "st"),
+        "--public-key", str(d / "p.pem"), "--seed", "9", "--batch", "2",
+    ])
+    assert any("embedded" in o for o in outs), outs
+
+    outs = _run_all([
+        "dist-extract", str(d / "st.avi"), str(d / "out.png"),
+        "--private-key", str(d / "k.pem"), "--batch", "2",
+    ])
+    assert any("SHA3-256 integrity: OK" in o for o in outs), outs
+    np.testing.assert_array_equal(load_image_gray(d / "out.png"),
+                                  load_image_gray(d / "s.png"))
