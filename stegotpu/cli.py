@@ -284,7 +284,8 @@ def cmd_dist_extract(args) -> int:
 
     priv = crypto.load_private_pem(args.private_key)
     res = distributed_extract(args.stego, priv, _config_from_args(args),
-                              args.output, batch_frames=args.batch)
+                              args.output, batch_frames=args.batch,
+                              mesh_spec=getattr(args, "mesh", None))
     if not res.success:
         print(f"DIST EXTRACT FAILED: {res.error}", file=sys.stderr)
         return 1
@@ -680,6 +681,8 @@ def build_parser() -> argparse.ArgumentParser:
     dx.add_argument("stego")
     dx.add_argument("output")
     dx.add_argument("--private-key", default="bob_private_key.pem")
+    dx.add_argument("--mesh", default=None, metavar="data=N,space=M",
+                    help="PER-HOST device mesh for each segment's extract")
     _add_dist_flags(dx)
     dx.set_defaults(fn=cmd_dist_extract)
 

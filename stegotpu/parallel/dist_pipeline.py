@@ -95,22 +95,37 @@ def distributed_embed(
     from stegotpu.video import VideoReader, force_avi_path
 
     nproc, pid = jax.process_count(), jax.process_index()
+    # preflight: EVERYTHING that can fail before the first collective (the
+    # secret read, the cover probe, the per-host mesh build) resolves here,
+    # then the hosts agree — a pre-collective exit would hang every peer
     mesh = None
     preflight_error: Exception | None = None
-    if mesh_spec:
-        try:
+    try:
+        width, height, img_bits = image_to_bits(secret_image)
+        img_bytes = bits_to_bytes(img_bits)
+        all_bits, _ = payload_mod.seal_payload(
+            img_bytes, width, height, receiver_pub_compressed,
+            config.dims_bits, rng=rng,
+        )  # every host derives the same SHAPE; host 0's VALUES win below
+        with VideoReader(video_in) as probe:
+            frame_count = probe.info.frame_count
+            h8, w8 = probe.info.cropped
+        cap = config.frame_capacity_bits(h8, w8)
+        if mesh_spec:
             from stegotpu.parallel.mesh import product_mesh
 
             mesh = product_mesh(mesh_spec, devices=jax.local_devices())
             # the mesh data axis rounds the batch up (pipeline._mesh_setup);
             # that MUST happen before segment bounds are computed, or
             # batches straddle segment boundaries and frames duplicate
+            from stegotpu.pipeline import _mesh_setup
+
             n_data = mesh.shape["data"]
             batch_frames = -(-batch_frames // n_data) * n_data
-        except ValueError as e:
-            preflight_error = e
-    # preflight agreement: every host must have a usable config before any
-    # host starts work (a pre-collective exit would hang the others)
+            batch_frames, _kern = _mesh_setup(mesh, config, h8, w8,
+                                              batch_frames)
+    except Exception as e:
+        preflight_error = e
     ok_pre = np.asarray(multihost_utils.process_allgather(
         np.int32(0 if preflight_error is not None else 1)))
     if int(ok_pre.min()) == 0:
@@ -118,17 +133,7 @@ def distributed_embed(
             raise preflight_error
         return (EmbedResult(False, None, 0, 0, 0) if pid == 0 else None)
 
-    width, height, img_bits = image_to_bits(secret_image)
-    img_bytes = bits_to_bytes(img_bits)
-    all_bits, _ = payload_mod.seal_payload(
-        img_bytes, width, height, receiver_pub_compressed, config.dims_bits,
-        rng=rng,
-    )  # every host derives the same SHAPE; host 0's VALUES win below
     all_bits = _broadcast_bits(all_bits)
-
-    with VideoReader(video_in) as reader:
-        frame_count = reader.info.frame_count
-        cap = config.frame_capacity_bits(*reader.info.cropped)
     bounds = segment_bounds(frame_count, nproc, batch_frames)
     lo, hi = bounds[pid]
 
@@ -201,6 +206,7 @@ def distributed_extract(
     config: StegoConfig = StegoConfig(),
     output_image: str | Path | None = None,
     batch_frames: int = 8,
+    mesh_spec: str | None = None,
 ) -> "ExtractResult":
     """Cooperative multi-process extract: each host reads ONLY its frame
     segment's bits, and the hosts assemble the global bit prefix in
@@ -214,21 +220,55 @@ def distributed_extract(
 
     from stegotpu.ops.dispatch import extract_fn
     from stegotpu.payload import NeedMoreBits, open_payload, parse_payload_bits
-    from stegotpu.pipeline import ExtractResult
+    from stegotpu.pipeline import ExtractResult, _mesh_setup
     from stegotpu.video import VideoReader
 
     nproc, pid = jax.process_count(), jax.process_index()
-    with VideoReader(stego_video) as reader:
-        h8, w8 = reader.info.cropped
-        frame_count = reader.info.frame_count
+    # preflight: EVERYTHING that can fail before the first round gather
+    # (file open, mesh build, geometry validation) resolves here, then the
+    # hosts agree before any work — a pre-collective exit would hang peers
+    mesh = None
+    preflight_error: Exception | None = None
+    try:
+        with VideoReader(stego_video) as probe:
+            h8, w8 = probe.info.cropped
+            frame_count = probe.info.frame_count
         cap = config.frame_capacity_bits(h8, w8)
         if cap == 0:
-            return ExtractResult(False, error="zero capacity")
+            raise ValueError("zero capacity (num_ac_coeffs=0?)")
+        if mesh_spec:
+            from stegotpu.parallel.mesh import product_mesh
+
+            mesh = product_mesh(mesh_spec, devices=jax.local_devices())
+            batch_frames = (-(-batch_frames // mesh.shape["data"])
+                            * mesh.shape["data"])
+            batch_frames, _kern = _mesh_setup(mesh, config, h8, w8,
+                                              batch_frames)
+    except Exception as e:
+        preflight_error = e
+    ok_pre = np.asarray(multihost_utils.process_allgather(
+        np.int32(0 if preflight_error is not None else 1)))
+    if int(ok_pre.min()) == 0:
+        if preflight_error is not None:
+            raise preflight_error
+        return ExtractResult(False, error="a peer host failed preflight")
+
+    with VideoReader(stego_video) as reader:
         bounds = segment_bounds(frame_count, nproc, batch_frames)
         lo, hi = bounds[pid]
         hi_eff = hi if hi is not None else frame_count
         delta = jnp.float32(config.delta)
-        xfn = extract_fn(config.kernel, h8, w8)
+        if mesh is not None:
+            from stegotpu.parallel.mesh import sharded_extract_frames
+
+            _, kern = _mesh_setup(mesh, config, h8, w8, batch_frames)
+            sharded = sharded_extract_frames(mesh, config.num_ac_coeffs,
+                                             kernel=kern)
+
+            def xfn(gray, d, _n):
+                return sharded(gray, d)
+        else:
+            xfn = extract_fn(config.kernel, h8, w8)
 
         # lazy forward reader over THIS host's segment: per-frame bit rows,
         # buffered across rounds (round windows need not align to batches)

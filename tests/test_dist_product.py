@@ -167,6 +167,23 @@ def test_dist_embed_with_per_host_mesh_and_hfyu(tmp_path):
     assert ext.success and ext.hash_ok, ext.error
     np.testing.assert_array_equal(ext.pixels, load_image_gray(d / "s.png"))
 
+    # and the cooperative extract with its own per-host mesh
+    port2 = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "stegotpu.cli", "--platform", "cpu",
+         "dist-extract", str(d / "st.avi"), str(d / "out.png"),
+         "--private-key", str(d / "k.pem"), "--batch", "4",
+         "--mesh", "data=2,space=2",
+         "--coordinator", f"127.0.0.1:{port2}",
+         "--num-processes", "2", "--process-id", str(pid)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, f"extract worker {pid} failed:\n{out}"
+    np.testing.assert_array_equal(load_image_gray(d / "out.png"),
+                                  load_image_gray(d / "s.png"))
+
 
 def test_dist_embed_mesh_batch_rounding(tmp_path):
     """Regression: a mesh data axis that does not divide --batch rounds the
