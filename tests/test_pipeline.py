@@ -175,3 +175,29 @@ def test_stage_timer_covers_all_pipeline_stages(media, keys, tmp_path):
     assert {"decode_wait", "device_dispatch",
             "device_readback"} <= set(t_ext.totals)
     assert "ms/call" in t_ext.report()
+
+
+def test_full_pipeline_on_cv2_fallback(monkeypatch, tmp_path):
+    """The whole embed->extract round trip must work with the native layer
+    disabled (STEGOTPU_VIDEO_BACKEND=cv2): gray conversion falls back to
+    numpy inside batches(), encode to cv2.VideoWriter — same wire."""
+    from stegotpu import crypto, fixtures
+    from stegotpu.config import StegoConfig
+    from stegotpu.image import load_image_gray
+    from stegotpu.pipeline import embed_image_in_video, extract_image_from_video
+
+    monkeypatch.setenv("STEGOTPU_VIDEO_BACKEND", "cv2")
+    fixtures.make_secret_image(tmp_path / "s.png", 24, 24, kind="noise", seed=1)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 160, 128, frames=8,
+                              kind="moving", seed=2)
+    priv, pub_c = crypto.setup_receiver_keys(tmp_path / "k.pem",
+                                             tmp_path / "p.pem")
+    res = embed_image_in_video(tmp_path / "c.mp4", tmp_path / "s.png",
+                               tmp_path / "st", pub_c, StegoConfig(),
+                               batch_frames=4)
+    assert res.success
+    ext = extract_image_from_video(res.output_path, priv, StegoConfig(),
+                                   batch_frames=4)
+    assert ext.success and ext.hash_ok, ext.error
+    np.testing.assert_array_equal(ext.pixels,
+                                  load_image_gray(tmp_path / "s.png"))
