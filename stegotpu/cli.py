@@ -787,6 +787,14 @@ def main(argv=None) -> int:
     configure_logging(verbose=getattr(args, "verbose", False))
     try:
         return args.fn(args)
+    except BrokenPipeError:
+        # stdout consumer went away (e.g. `stegotpu ... | head`): the unix
+        # convention is silent termination, not an error report
+        try:
+            sys.stdout.close()
+        except OSError:
+            pass
+        return 0
     except (OSError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
