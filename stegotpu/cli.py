@@ -786,12 +786,21 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     configure_logging(verbose=getattr(args, "verbose", False))
     try:
-        return args.fn(args)
+        ret = args.fn(args)
+        # flush INSIDE the try: with piped stdout Python block-buffers, so
+        # a closed pipe only surfaces at shutdown flush — outside any
+        # handler — unless we force it here
+        sys.stdout.flush()
+        return ret
     except BrokenPipeError:
         # stdout consumer went away (e.g. `stegotpu ... | head`): the unix
-        # convention is silent termination, not an error report
+        # convention is silent termination, not an error report. Point the
+        # fd at devnull so the interpreter's shutdown flush can't raise a
+        # second ("Exception ignored") BrokenPipeError.
+        import os
+
         try:
-            sys.stdout.close()
+            os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
         except OSError:
             pass
         return 0

@@ -110,20 +110,20 @@ def distributed_embed(
         with VideoReader(video_in) as probe:
             frame_count = probe.info.frame_count
             h8, w8 = probe.info.cropped
-        cap = config.frame_capacity_bits(h8, w8)
+        if frame_count <= 0:
+            raise ValueError(
+                "cannot segment a video with unknown frame count")
+        if config.frame_capacity_bits(h8, w8) == 0:
+            raise ValueError("zero capacity (num_ac_coeffs=0?)")
         if mesh_spec:
             from stegotpu.parallel.mesh import product_mesh
-
-            mesh = product_mesh(mesh_spec, devices=jax.local_devices())
-            # the mesh data axis rounds the batch up (pipeline._mesh_setup);
-            # that MUST happen before segment bounds are computed, or
-            # batches straddle segment boundaries and frames duplicate
             from stegotpu.pipeline import _mesh_setup
 
-            n_data = mesh.shape["data"]
-            batch_frames = -(-batch_frames // n_data) * n_data
-            batch_frames, _kern = _mesh_setup(mesh, config, h8, w8,
-                                              batch_frames)
+            mesh = product_mesh(mesh_spec, devices=jax.local_devices())
+            # _mesh_setup rounds the batch up to the mesh data axis; that
+            # MUST happen before segment bounds are computed, or batches
+            # straddle segment boundaries and frames duplicate
+            batch_frames, _ = _mesh_setup(mesh, config, h8, w8, batch_frames)
     except Exception as e:
         preflight_error = e
     ok_pre = np.asarray(multihost_utils.process_allgather(
@@ -226,13 +226,19 @@ def distributed_extract(
     nproc, pid = jax.process_count(), jax.process_index()
     # preflight: EVERYTHING that can fail before the first round gather
     # (file open, mesh build, geometry validation) resolves here, then the
-    # hosts agree before any work — a pre-collective exit would hang peers
+    # hosts agree before any work — a pre-collective exit would hang peers.
+    # The reader opened here is the one the round loop streams from.
     mesh = None
+    kern = None
+    reader = None
     preflight_error: Exception | None = None
     try:
-        with VideoReader(stego_video) as probe:
-            h8, w8 = probe.info.cropped
-            frame_count = probe.info.frame_count
+        reader = VideoReader(stego_video)
+        h8, w8 = reader.info.cropped
+        frame_count = reader.info.frame_count
+        if frame_count <= 0:
+            raise ValueError(
+                "cannot segment a video with unknown frame count")
         cap = config.frame_capacity_bits(h8, w8)
         if cap == 0:
             raise ValueError("zero capacity (num_ac_coeffs=0?)")
@@ -240,20 +246,20 @@ def distributed_extract(
             from stegotpu.parallel.mesh import product_mesh
 
             mesh = product_mesh(mesh_spec, devices=jax.local_devices())
-            batch_frames = (-(-batch_frames // mesh.shape["data"])
-                            * mesh.shape["data"])
-            batch_frames, _kern = _mesh_setup(mesh, config, h8, w8,
-                                              batch_frames)
+            batch_frames, kern = _mesh_setup(mesh, config, h8, w8,
+                                             batch_frames)
     except Exception as e:
         preflight_error = e
     ok_pre = np.asarray(multihost_utils.process_allgather(
         np.int32(0 if preflight_error is not None else 1)))
     if int(ok_pre.min()) == 0:
+        if reader is not None:
+            reader.release()
         if preflight_error is not None:
             raise preflight_error
         return ExtractResult(False, error="a peer host failed preflight")
 
-    with VideoReader(stego_video) as reader:
+    with reader:
         bounds = segment_bounds(frame_count, nproc, batch_frames)
         lo, hi = bounds[pid]
         hi_eff = hi if hi is not None else frame_count
@@ -261,7 +267,6 @@ def distributed_extract(
         if mesh is not None:
             from stegotpu.parallel.mesh import sharded_extract_frames
 
-            _, kern = _mesh_setup(mesh, config, h8, w8, batch_frames)
             sharded = sharded_extract_frames(mesh, config.num_ac_coeffs,
                                              kernel=kern)
 

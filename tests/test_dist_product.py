@@ -30,8 +30,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _spawn(cmd_args, pid, nproc, port):
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+def _spawn(cmd_args, pid, nproc, port, extra_env=None):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO),
+               **(extra_env or {}))
     return subprocess.Popen(
         [sys.executable, "-m", "stegotpu.cli", "--platform", "cpu",
          *cmd_args, "--coordinator", f"127.0.0.1:{port}",
@@ -40,9 +41,10 @@ def _spawn(cmd_args, pid, nproc, port):
     )
 
 
-def _run_all(cmd_args, nproc=2):
+def _run_all(cmd_args, nproc=2, extra_env=None):
     port = _free_port()
-    procs = [_spawn(cmd_args, pid, nproc, port) for pid in range(nproc)]
+    procs = [_spawn(cmd_args, pid, nproc, port, extra_env)
+             for pid in range(nproc)]
     outs = []
     for p in procs:
         try:
@@ -55,6 +57,9 @@ def _run_all(cmd_args, nproc=2):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
     return outs
+
+
+_FOUR_DEVICES = {"XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
 
 
 def _decode_all(path):
@@ -136,30 +141,11 @@ def test_dist_embed_with_per_host_mesh_and_hfyu(tmp_path):
                               kind="moving", seed=4)
     priv, pub_c = crypto.setup_receiver_keys(d / "k.pem", d / "p.pem")
 
-    port = _free_port()
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=4",
-               PYTHONPATH=str(REPO))
-    procs = [subprocess.Popen(
-        [sys.executable, "-m", "stegotpu.cli", "--platform", "cpu",
-         "dist-embed", str(d / "c.mp4"), str(d / "s.png"), str(d / "st"),
-         "--public-key", str(d / "p.pem"), "--seed", "5", "--batch", "4",
-         "--codec", "HFYU", "--mesh", "data=2,space=2",
-         "--coordinator", f"127.0.0.1:{port}",
-         "--num-processes", "2", "--process-id", str(pid)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for pid in range(2)]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=300)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("mesh dist worker timed out")
-        outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+    _run_all([
+        "dist-embed", str(d / "c.mp4"), str(d / "s.png"), str(d / "st"),
+        "--public-key", str(d / "p.pem"), "--seed", "5", "--batch", "4",
+        "--codec", "HFYU", "--mesh", "data=2,space=2",
+    ], extra_env=_FOUR_DEVICES)
 
     from stegotpu.pipeline import extract_image_from_video
 
@@ -168,19 +154,11 @@ def test_dist_embed_with_per_host_mesh_and_hfyu(tmp_path):
     np.testing.assert_array_equal(ext.pixels, load_image_gray(d / "s.png"))
 
     # and the cooperative extract with its own per-host mesh
-    port2 = _free_port()
-    procs = [subprocess.Popen(
-        [sys.executable, "-m", "stegotpu.cli", "--platform", "cpu",
-         "dist-extract", str(d / "st.avi"), str(d / "out.png"),
-         "--private-key", str(d / "k.pem"), "--batch", "4",
-         "--mesh", "data=2,space=2",
-         "--coordinator", f"127.0.0.1:{port2}",
-         "--num-processes", "2", "--process-id", str(pid)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for pid in range(2)]
-    for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=300)
-        assert p.returncode == 0, f"extract worker {pid} failed:\n{out}"
+    _run_all([
+        "dist-extract", str(d / "st.avi"), str(d / "out.png"),
+        "--private-key", str(d / "k.pem"), "--batch", "4",
+        "--mesh", "data=2,space=2",
+    ], extra_env=_FOUR_DEVICES)
     np.testing.assert_array_equal(load_image_gray(d / "out.png"),
                                   load_image_gray(d / "s.png"))
 
@@ -196,22 +174,11 @@ def test_dist_embed_mesh_batch_rounding(tmp_path):
                               kind="moving", seed=4)
     priv, pub_c = crypto.setup_receiver_keys(d / "k.pem", d / "p.pem")
 
-    port = _free_port()
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=4",
-               PYTHONPATH=str(REPO))
-    procs = [subprocess.Popen(
-        [sys.executable, "-m", "stegotpu.cli", "--platform", "cpu",
-         "dist-embed", str(d / "c.mp4"), str(d / "s.png"), str(d / "st"),
-         "--public-key", str(d / "p.pem"), "--seed", "5", "--batch", "8",
-         "--mesh", "data=3",  # 3 does not divide 8 -> batch rounds to 9
-         "--coordinator", f"127.0.0.1:{port}",
-         "--num-processes", "2", "--process-id", str(pid)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for pid in range(2)]
-    for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=300)
-        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+    _run_all([
+        "dist-embed", str(d / "c.mp4"), str(d / "s.png"), str(d / "st"),
+        "--public-key", str(d / "p.pem"), "--seed", "5", "--batch", "8",
+        "--mesh", "data=3",  # 3 does not divide 8 -> batch rounds to 9
+    ], extra_env=_FOUR_DEVICES)
 
     from stegotpu.pipeline import extract_image_from_video
 
