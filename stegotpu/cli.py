@@ -111,10 +111,44 @@ def cmd_embed(args) -> int:
                   "(32x32 light gray)")
     pub = crypto.serialize_public_compressed(crypto.load_public_pem(args.public_key))
     timer = _make_timer(args)
+
+    frame_range = None
+    if getattr(args, "frame_range", None):
+        lo_s, _, hi_s = args.frame_range.partition(":")
+        frame_range = (int(lo_s or 0), int(hi_s) if hi_s else None)
+
+    sealed = None
+    state = getattr(args, "payload_state", None)
+    if state:
+        # resumable embeds: separate segment runs must embed the IDENTICAL
+        # crypto stream (ephemeral key/salt/nonce), so the sealed payload
+        # persists across invocations. The file contains the ciphertext —
+        # treat it with the same care as the stego itself.
+        import numpy as np
+
+        from stegotpu import image as image_codec
+        from stegotpu import payload as payload_mod
+        from stegotpu.bitstream import bits_to_bytes as _b2b
+
+        # np.save appends .npy when missing — normalize so the resume run's
+        # existence check looks at the file the first run actually wrote
+        state_npy = state if str(state).endswith(".npy") else f"{state}.npy"
+        if Path(state_npy).exists():
+            sealed = np.load(state_npy)
+        else:
+            w_px, h_px, img_bits = image_codec.image_to_bits(args.secret)
+            sealed, _ = payload_mod.seal_payload(
+                _b2b(img_bits), w_px, h_px, pub,
+                _config_from_args(args).dims_bits)
+            np.save(state_npy, np.asarray(sealed, dtype=np.uint8))
+            print(f"sealed payload saved to '{state_npy}' "
+                  "(contains the ciphertext — protect like the stego)")
+
     res = embed_image_in_video(
         args.cover, args.secret, args.output, pub,
         _config_from_args(args), batch_frames=args.batch, timer=timer,
-        mesh=_mesh_from_args(args),
+        mesh=_mesh_from_args(args), frame_range=frame_range,
+        sealed_bits=sealed,
     )
     _report_timer(timer)
     if not res.success:
@@ -445,6 +479,19 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_concat(args) -> int:
+    """Stitch same-codec segments by packet stream-copy (no re-encode)."""
+    from stegotpu.native.videoio import available, build_error, concat_videos
+
+    if not available():
+        print(f"error: concat needs the native layer ({build_error()})",
+              file=sys.stderr)
+        return 1
+    concat_videos(args.output, args.segments)
+    print(f"stitched {len(args.segments)} segments into '{args.output}'")
+    return 0
+
+
 def cmd_inspect(args) -> int:
     """Parse a stego video's embedded header WITHOUT decrypting.
 
@@ -611,6 +658,16 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--auto-fixtures", action="store_true",
                    help="generate reference-style dummy inputs for missing "
                         "cover/secret paths (reference README parity)")
+    e.add_argument("--frame-range", default=None, metavar="LO:HI",
+                   help="embed only source frames [LO, HI) as a SEGMENT "
+                        "(bit offsets stay globally consistent; LO must "
+                        "align to --batch; omit HI for to-EOF) — the "
+                        "resume/parallel-run building block; stitch "
+                        "segments with `stegotpu concat`")
+    e.add_argument("--payload-state", default=None, metavar="FILE.npy",
+                   help="persist/reuse the sealed payload across segment "
+                        "runs (separate invocations must embed the same "
+                        "crypto stream); created on first use")
     e.add_argument("--timing", action="store_true",
                    help="print decode/device/encode stage timing to stderr")
     _add_qim_flags(e)
@@ -746,6 +803,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "reads/writes server-side paths, unauthenticated)")
     sv.add_argument("--port", type=int, default=8752)
     sv.set_defaults(fn=cmd_serve)
+
+    cc = sub.add_parser(
+        "concat",
+        help="stitch same-codec video segments (packet copy, no re-encode)")
+    cc.add_argument("output", help="output .avi path")
+    cc.add_argument("segments", nargs="+", help="segment files, in order")
+    cc.set_defaults(fn=cmd_concat)
 
     i = sub.add_parser("inspect", help="parse a stego header without decrypting")
     i.add_argument("stego", help="stego video path")

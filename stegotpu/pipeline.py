@@ -132,6 +132,8 @@ def embed_image_in_video(
     rng=None,
     timer=None,
     mesh=None,
+    frame_range=None,
+    sealed_bits=None,
 ) -> EmbedResult:
     """Embed an encrypted secret image into a video, file to file.
 
@@ -145,12 +147,16 @@ def embed_image_in_video(
     device_dispatch / device_readback / encode stage totals (gray conversion
     rides the decode stage: in C++ on the native backend, in the batches()
     generator on the cv2 fallback — either way off this loop's critical path).
+    frame_range / sealed_bits: segment embedding (see _embed_payload) — the
+    resume / multi-host building blocks: embed only frames [lo, hi) with
+    globally-consistent bit offsets, optionally against a pre-sealed
+    payload so separate runs embed the identical crypto stream.
     """
     width, height, img_bits = image_codec.image_to_bits(secret_image)
     img_bytes = bits_to_bytes(img_bits)
     return _embed_payload(video_in, img_bytes, width, height, video_out,
                           receiver_pub_compressed, config, batch_frames, rng,
-                          timer, mesh)
+                          timer, mesh, frame_range, sealed_bits)
 
 
 def embed_data_in_video(

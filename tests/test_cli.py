@@ -216,3 +216,47 @@ def test_cli_json_outputs(tmp_path, monkeypatch, capsys):
     stz = json.loads(capsys.readouterr().out)
     assert stz["detected"] and stz["estimated_delta"] == 20
     assert stz["estimated_num_ac"] == 10
+
+
+def test_cli_segment_embed_resume_and_concat(tmp_path, monkeypatch, capsys):
+    """Resumable embeds: two separate CLI runs embed frame ranges [0:8) and
+    [8:EOF) against a persisted sealed payload, `concat` stitches them, and
+    the result is pixel-identical to a single full embed of the same
+    payload — the interrupted-run recovery story."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["genkey"]) == 0
+    from stegotpu import fixtures
+
+    fixtures.make_secret_image("s.png", 56, 56, kind="noise", seed=1)
+    fixtures.make_cover_video("c.mp4", 160, 128, frames=12, kind="moving",
+                              seed=2)
+    # run 1 ("interrupted"): frames [0, 8), seals + saves the payload
+    assert main(["embed", "c.mp4", "s.png", "seg0", "--batch", "4",
+                 "--frame-range", "0:8", "--payload-state", "p"]) == 0
+    assert "sealed payload saved" in capsys.readouterr().out
+    # run 2 (the resume): frames [8, EOF) against the SAME sealed payload
+    assert main(["embed", "c.mp4", "s.png", "seg1", "--batch", "4",
+                 "--frame-range", "8:", "--payload-state", "p"]) == 0
+    assert main(["concat", "full.avi", "seg0.avi", "seg1.avi"]) == 0
+    capsys.readouterr()
+
+    # reference run: one invocation, same sealed payload, full video
+    assert main(["embed", "c.mp4", "s.png", "one", "--batch", "4",
+                 "--payload-state", "p"]) == 0
+    import cv2
+
+    def frames_of(p):
+        cap = cv2.VideoCapture(p)
+        out = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            out.append(f)
+        cap.release()
+        return np.stack(out)
+
+    np.testing.assert_array_equal(frames_of("full.avi"), frames_of("one.avi"))
+    assert main(["extract", "full.avi", "x.png"]) == 0
+    np.testing.assert_array_equal(load_image_gray("x.png"),
+                                  load_image_gray("s.png"))
