@@ -213,3 +213,28 @@ def test_dist_extract_payload_spans_both_segments(tmp_path):
     assert any("SHA3-256 integrity: OK" in o for o in outs), outs
     np.testing.assert_array_equal(load_image_gray(d / "out.png"),
                                   load_image_gray(d / "s.png"))
+
+
+def test_segment_bounds_properties_exhaustive():
+    """Invariants over the whole small parameter space: segments are
+    disjoint, ordered, cover [0, frame_count), interior cuts align to
+    batch_frames, and only the last segment is open-ended."""
+    from stegotpu.parallel.dist_pipeline import segment_bounds
+
+    for frame_count in range(1, 41):
+        for nproc in range(1, 5):
+            for batch in range(1, 9):
+                bounds = segment_bounds(frame_count, nproc, batch)
+                assert len(bounds) == nproc
+                prev_hi = 0
+                for i, (lo, hi) in enumerate(bounds):
+                    assert lo == prev_hi  # contiguous, ordered
+                    assert lo % batch == 0 or lo == frame_count
+                    if i == nproc - 1:
+                        assert hi is None
+                        prev_hi = frame_count
+                    else:
+                        assert hi is not None and hi >= lo
+                        assert hi % batch == 0 or hi == frame_count
+                        prev_hi = hi
+                assert prev_hi == frame_count  # full coverage
