@@ -1,5 +1,6 @@
-"""Command-line interface: embed / extract / genkey / evaluate / capacity /
-fixtures / bench.
+"""Command-line interface: embed / extract (+ batch, dist, segment
+variants) / genkey / evaluate / capacity / inspect / steganalyze /
+fixtures / selftest / serve / concat / bench.
 
 Replaces the reference's hardcoded per-module ``__main__`` smoke drivers
 (reference: embed_process.py:155-217, extract_process.py:219-276,
