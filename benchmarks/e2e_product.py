@@ -233,11 +233,14 @@ def main() -> None:
                 "phase": f"embed_e2e_{scenario}", "codec": codec, "fps": fps,
                 "frames": N, "payload_bits": res.total_payload_bits,
                 "ideal_serial_fps": serial, "ideal_overlap_fps": overlap,
-                "efficiency_vs_ideal": round(fps / ideal, 3),
-                # noise-robust within-run view: wall time not attributable
-                # to any stage = pure pipeline glue (the cross-run ideal is
-                # subject to noisy-neighbor drift between measurements)
-                "unattributed_overhead_pct": _glue_pct(best_dt, timer),
+                # CROSS-RUN estimator (noisy): the standalone stage rates and
+                # the e2e run rarely see the same noisy-neighbor interference
+                # on a shared core, so this can drift past 1.0 — the
+                # within-run glue number below is the load-bearing claim
+                "efficiency_vs_ideal_crossrun": round(fps / ideal, 3),
+                # WITHIN-RUN estimator (noise-robust): wall time not
+                # attributable to any stage = pure pipeline glue
+                "glue_overhead_within_run_pct": _glue_pct(best_dt, timer),
                 "bottleneck_stage": bottleneck,
                 "stage_totals_s": {k: round(v, 3) for k, v in timer.totals.items()},
             })
@@ -263,8 +266,8 @@ def main() -> None:
             "phase": f"extract_e2e_{scenario}", "codec": codecs[0], "fps": fps,
             "frames_read": frames_read,
             "ideal_serial_fps": serial, "ideal_overlap_fps": overlap,
-            "efficiency_vs_ideal": round(fps / ideal, 3),
-            "unattributed_overhead_pct": _glue_pct(best_dt, timer),
+            "efficiency_vs_ideal_crossrun": round(fps / ideal, 3),  # noisy
+            "glue_overhead_within_run_pct": _glue_pct(best_dt, timer),
             "bottleneck_stage": bottleneck,
             "stage_totals_s": {k: round(v, 3) for k, v in timer.totals.items()},
         })

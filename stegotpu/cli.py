@@ -120,6 +120,15 @@ def cmd_embed(args) -> int:
 
     sealed = None
     state = getattr(args, "payload_state", None)
+    if frame_range is not None and frame_range[0] > 0 and not state:
+        # a mid-video segment sealed with FRESH crypto randomness (ephemeral
+        # key/salt/nonce) can never decode against other runs' segments —
+        # the stitched video would fail AES-GCM with no hint why
+        print("error: --frame-range with LO > 0 requires --payload-state: "
+              "each invocation seals fresh crypto randomness, so this "
+              "segment's bits would disagree with segment 0's run and the "
+              "concat-stitched video could never decrypt", file=sys.stderr)
+        return 1
     if state:
         # resumable embeds: separate segment runs must embed the IDENTICAL
         # crypto stream (ephemeral key/salt/nonce), so the sealed payload

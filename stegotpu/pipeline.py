@@ -201,10 +201,6 @@ def _embed_payload(
         )
     total = int(all_bits.size)
     lo, hi = frame_range if frame_range is not None else (0, None)
-    if lo % batch_frames:
-        raise ValueError(
-            f"frame_range start {lo} must align to batch_frames={batch_frames}"
-        )
 
     with VideoReader(video_in) as reader:
         h8, w8 = reader.info.cropped
@@ -264,6 +260,18 @@ def _embed_payload(
                     jnp.asarray(gray), jnp.asarray(seg),
                     jnp.int32(remaining), delta, config.num_ac_coeffs,
                 )
+
+        # Alignment is validated against the FINAL batch_frames — _mesh_setup
+        # above may have rounded it up to the mesh data axis, and an lo that
+        # aligned to the requested batch but not the rounded one would let
+        # pre-segment frames leak into this segment at wrong bit offsets.
+        if lo % batch_frames:
+            raise ValueError(
+                f"frame_range start {lo} must align to batch_frames="
+                f"{batch_frames}"
+                + (" (rounded up to the mesh data axis)"
+                   if mesh is not None else "")
+            )
 
         out_path = force_avi_path(video_out)
         cursor = min(total, lo * cap_bits)  # bits owned by earlier segments

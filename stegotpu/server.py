@@ -170,9 +170,16 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def _host_allowed(self) -> bool:
-        host = (self.headers.get("Host") or "").rsplit(":", 1)[0]
+        # bracket-aware port strip: '[::1]:8752' and bare '[::1]' both
+        # normalize to '::1' (a naive rsplit(':') mangles bracketed IPv6)
+        from urllib.parse import urlsplit
+
+        try:
+            host = urlsplit("//" + (self.headers.get("Host") or "")).hostname
+        except ValueError:
+            return False
         allowed = getattr(self.server, "allowed_hosts",
-                          {"127.0.0.1", "localhost", "[::1]"})
+                          {"127.0.0.1", "localhost", "::1"})
         return host in allowed
 
     def do_POST(self):
@@ -214,7 +221,9 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; port 0 picks a free port."""
     srv = ThreadingHTTPServer((host, port), _Handler)
-    srv.allowed_hosts = {host, "127.0.0.1", "localhost", "[::1]"}
+    # urlsplit().hostname (the comparison side) is lowercase and unbracketed
+    srv.allowed_hosts = {host.strip("[]").lower(), "127.0.0.1", "localhost",
+                         "::1"}
     return srv
 
 

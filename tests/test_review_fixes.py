@@ -130,3 +130,51 @@ def test_native_reader_rejects_oversize_crop(tmp_path, rng):
         with pytest.raises(ValueError, match="crop"):
             r.read_batch(1, 64, 256)
         assert r.read_batch(2, 64, 128).shape == (2, 64, 128, 3)
+
+
+def test_frame_range_alignment_revalidated_after_mesh_rounding(tmp_path):
+    """_mesh_setup rounds batch_frames up to the mesh data axis AFTER the
+    old alignment check ran: `--frame-range 8: --batch 8 --mesh data=3`
+    used to pass validation and then run with batch 9, silently embedding
+    pre-segment frames at wrong bit offsets (advisor r3). Now it raises."""
+    from stegotpu import fixtures
+    from stegotpu.config import StegoConfig
+    from stegotpu.parallel.mesh import make_mesh
+    from stegotpu.pipeline import embed_image_in_video
+
+    fixtures.make_secret_image(tmp_path / "s.png", 16, 16, kind="noise",
+                               seed=3)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 160, 128, frames=18,
+                              kind="moving", seed=4)
+    priv_path, pub_path = tmp_path / "k.pem", tmp_path / "p.pem"
+    _, pub_c = crypto.setup_receiver_keys(priv_path, pub_path)
+    mesh = make_mesh(3, 1)
+    with pytest.raises(ValueError, match="rounded up to the mesh"):
+        embed_image_in_video(
+            tmp_path / "c.mp4", tmp_path / "s.png", tmp_path / "seg",
+            pub_c, StegoConfig(), batch_frames=8, mesh=mesh,
+            frame_range=(8, None),
+        )
+
+
+def test_cli_segment_without_payload_state_refused(tmp_path, monkeypatch,
+                                                   capsys):
+    """A mid-video segment run (--frame-range LO>0) without --payload-state
+    would seal FRESH crypto randomness whose bits can never decode against
+    other runs' segments — the CLI must refuse, not silently emit a
+    poisoned segment (advisor r3)."""
+    from stegotpu import fixtures
+    from stegotpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["genkey"]) == 0
+    fixtures.make_secret_image("s.png", 16, 16, kind="noise", seed=1)
+    fixtures.make_cover_video("c.mp4", 160, 128, frames=12, kind="moving",
+                              seed=2)
+    assert main(["embed", "c.mp4", "s.png", "seg1", "--batch", "4",
+                 "--frame-range", "8:"]) == 1
+    err = capsys.readouterr().err
+    assert "--payload-state" in err
+    # LO == 0 (first segment / fresh run) stays allowed without state
+    assert main(["embed", "c.mp4", "s.png", "seg0", "--batch", "4",
+                 "--frame-range", "0:8"]) == 0

@@ -122,3 +122,28 @@ def test_serve_rejects_cross_origin_shapes(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 403
+
+
+def test_serve_host_header_bracket_aware(server):
+    """Bracketed IPv6 and port-suffixed Host headers must pass the
+    rebinding check (advisor r3: rsplit(':') mangled '[::1]' into '[::'
+    and 403'd a legitimate loopback client)."""
+    for host in ("[::1]", "[::1]:8752", "localhost:1234", "127.0.0.1:80"):
+        req = urllib.request.Request(
+            server + "/inspect", data=b'{"stego": "/nonexistent.avi"}',
+            headers={"Content-Type": "application/json", "Host": host},
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        # 400 = past the host check into the handler (file missing); a 403
+        # would mean the allowed loopback Host form was rejected
+        assert e.value.code == 400, host
+    # the rebinding check itself still fires, bracketed or not
+    for host in ("evil.example.com:80", "[2001:db8::1]"):
+        req = urllib.request.Request(
+            server + "/inspect", data=b'{"stego": "x"}',
+            headers={"Content-Type": "application/json", "Host": host},
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 403, host
