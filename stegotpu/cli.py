@@ -179,18 +179,59 @@ def cmd_embed(args) -> int:
 
 
 def cmd_extract(args) -> int:
+    import dataclasses
+
     from stegotpu.pipeline import extract_image_from_video
 
     priv = crypto.load_private_pem(args.private_key)
     timer = _make_timer(args)
+    cfg = _config_from_args(args)
     res = extract_image_from_video(
-        args.stego, priv, _config_from_args(args), args.output,
+        args.stego, priv, cfg, args.output,
         batch_frames=args.batch, timer=timer, mesh=_mesh_from_args(args),
     )
+    if not res.success and getattr(args, "auto_params", False):
+        # RECOVERY MODE: the QIM lattice leaks delta and num_ac to anyone
+        # (steganalysis.py — the scheme hides content, not parameters), so
+        # when the supplied/default parameters fail, recover them from the
+        # stego itself and retry once with the recovered pair.
+        from stegotpu.steganalysis import (
+            analyze_frames,
+            estimate_num_ac,
+            read_gray_frames,
+        )
+
+        print(f"extract failed with delta={cfg.delta}, "
+              f"coeffs={cfg.num_ac_coeffs} ({res.error}); running "
+              "steganalysis parameter recovery...", file=sys.stderr)
+        gray = read_gray_frames(args.stego, 4)
+        rep = analyze_frames(gray, num_ac=cfg.num_ac_coeffs)
+        n_est = estimate_num_ac(gray, rep.best_delta) if rep.detected else 0
+        if (rep.detected and n_est > 0
+                and (rep.best_delta, n_est) != (cfg.delta,
+                                                cfg.num_ac_coeffs)):
+            print(f"RECOVERY: steganalysis estimates delta={rep.best_delta} "
+                  f"(lattice score {rep.best_score:.3f}), "
+                  f"coeffs={n_est} — retrying", file=sys.stderr)
+            cfg = dataclasses.replace(cfg, delta=rep.best_delta,
+                                      num_ac_coeffs=n_est)
+            res = extract_image_from_video(
+                args.stego, priv, cfg, args.output,
+                batch_frames=args.batch, timer=timer,
+                mesh=_mesh_from_args(args),
+            )
+        else:
+            print("RECOVERY FAILED: no QIM lattice detected "
+                  f"(verdict: {rep.verdict}) — not a stego video, or the "
+                  "cover is too smooth to carry lattice evidence",
+                  file=sys.stderr)
     _report_timer(timer)
     if not res.success:
         print(f"EXTRACT FAILED: {res.error}", file=sys.stderr)
         return 1
+    if cfg.delta != args.delta or cfg.num_ac_coeffs != args.coeffs:
+        print(f"(recovered parameters: delta={cfg.delta}, "
+              f"coeffs={cfg.num_ac_coeffs})")
     if res.is_raw_data:
         print(f"extracted {len(res.data)} bytes of raw data to '{res.output_path}'")
     else:
@@ -771,6 +812,11 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--batch", type=int, default=8)
     x.add_argument("--timing", action="store_true",
                    help="print decode/device/encode stage timing to stderr")
+    x.add_argument("--auto-params", action="store_true",
+                   help="RECOVERY MODE: if extraction fails, recover "
+                        "delta/coeffs from the stego's QIM lattice "
+                        "(steganalysis) and retry — for stegos whose "
+                        "out-of-band parameters were lost")
     _add_qim_flags(x)
     _add_mesh_flag(x)
     x.set_defaults(fn=cmd_extract)

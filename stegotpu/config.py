@@ -44,8 +44,9 @@ class StegoConfig:
     dims_bits: width of each secret-dimension header field.
     codec: fourcc for the lossless stego video container.
     kernel: device kernel variant — 'auto' (default: the fused Pallas stripe
-        kernel on TPU when W % 128 == 0, the portable XLA Kronecker kernel
-        otherwise — see ops/dispatch.py), 'xla', or 'pallas' (forced).
+        kernel on TPU (non-128-multiple widths lane-padded), the portable
+        XLA Kronecker kernel otherwise — see ops/dispatch.py), 'xla', or
+        'pallas' (forced).
     verified_embed: closed-loop repair of clipping-induced bit losses
         (ops/verified.py) — guarantees BER=0 even on saturated covers, at the
         cost of a fused re-extract (and, only when errors are found,

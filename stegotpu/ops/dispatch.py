@@ -3,8 +3,9 @@
 Variants (all semantically identical, tested against each other):
 
 - 'pallas' — ops/pallas_kernel.py: fused single-HBM-pass stripe kernel.
-             3,596 fps 1080p round trip on v5e (benchmarks). Requires
-             W % 128 == 0 and a compiled-Pallas backend (TPU).
+             3,596 fps 1080p round trip on v5e (benchmarks). Requires a
+             compiled-Pallas backend (TPU); non-128-multiple widths run
+             via in-wrapper lane padding (pallas_kernel._lane_pad).
 - 'xla'    — ops/qim.py: blockify + one (nb, 64) @ (64, 64) Kronecker
              matmul. 3,015 fps; works everywhere.
 - 'auto'   — pallas on TPU when the shape allows, xla otherwise (Pallas on
@@ -17,7 +18,9 @@ from stegotpu.ops import pallas_kernel, qim
 
 
 def _pallas_ok(w: int, h: int) -> bool:
-    return w % 128 == 0 and h % 8 == 0
+    # any 8x8-blockable frame (the pipeline's crop guarantees this); widths
+    # off the 128-lane grid are zero-padded inside the pallas wrappers
+    return w % 8 == 0 and h % 8 == 0 and w > 0
 
 
 def _pallas_compiled_backend() -> bool:

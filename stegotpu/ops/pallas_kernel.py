@@ -71,6 +71,26 @@ def rows_per_block(num_ac: int) -> int:
     return num_ac // BLOCK + 1
 
 
+def _lane_pad(w: int) -> int:
+    """Width padded up to the Mosaic lane multiple (128).
+
+    Non-128-multiple widths (after the 8-px crop: 1366x768 -> 1360, 720x480,
+    ...) run the Pallas path via zero-padded lane columns: the pad forms
+    whole extra 8x8 blocks at each block row's end, which the validity mask
+    excludes (block numbering stays keyed to the REAL width, matching the
+    reference's any-size row-major order, embed_process.py:94), so their
+    coefficient delta is exactly 0 and the pad is sliced off the outputs."""
+    return -(-w // _LANE) * _LANE
+
+
+def _pad_lanes(arr: jnp.ndarray, wp: int) -> jnp.ndarray:
+    """Zero-pad the last (lane) dim to wp; no-op when already that wide."""
+    w = arr.shape[-1]
+    if w == wp:
+        return arr
+    return jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [(0, wp - w)])
+
+
 def _rows_pad(stripe: int, rn: int) -> int:
     """Compact-rows chunk height per stripe, padded so the Pallas block's
     sublane dim is a multiple of 8 (Mosaic tiling requirement)."""
@@ -262,28 +282,32 @@ def _idct2_sparse(dy, pve, bh_i, w):
     return jnp.dot(pve, dh, preferred_element_type=jnp.float32)
 
 
-def _qim_valid_compact(total, offset, *, stripe, w, num_ac, cap, rn, rp):
+def _qim_valid_compact(total, offset, *, stripe, w, w_real, num_ac, cap, rn,
+                       rp):
     """Per-slot validity on the compact (rows_pad, W) grid, from iota + SMEM
     scalars — no materialized plane.
 
     Compact row k = i*rn + g, column x is block (i, x//8), flat in-block
-    coefficient c = 8g + x%8; it carries a payload bit iff c is a slot
-    (1 <= c <= num_ac) and its global bit index is below total. Sublane
-    padding rows (k >= (S/8)*rn) may spuriously test valid — harmless: the
-    expansion matrix's zero columns annihilate their delta, and extraction
-    slices them away.
+    coefficient c = 8g + x%8; it carries a payload bit iff its block is a
+    REAL block (x//8 < w_real/8 — lane-padded widths append zero blocks that
+    carry nothing), c is a slot (1 <= c <= num_ac), and its global bit index
+    is below total. Block numbering uses the real width so bit order matches
+    the unpadded frame exactly. Sublane padding rows (k >= (S/8)*rn) may
+    spuriously test valid — harmless: the expansion matrix's zero columns
+    annihilate their delta, and extraction slices them away.
     """
     bh_s = stripe // BLOCK
-    bw = w // BLOCK
+    bw = w_real // BLOCK
     f = pl.program_id(0)
     jg = pl.program_id(1)
     k = jax.lax.broadcasted_iota(jnp.int32, (rp, w), 0)
     x = jax.lax.broadcasted_iota(jnp.int32, (rp, w), 1)
     i = k // rn
-    blk = (jg * bh_s + i) * bw + x // BLOCK
+    xb = x // BLOCK
+    blk = (jg * bh_s + i) * bw + xb
     rem = total - offset - f * cap - blk * num_ac  # bits left at block start
     c = (k - i * rn) * BLOCK + x % BLOCK
-    return (c >= 1) & (c <= num_ac) & (c - 1 < rem)
+    return (xb < bw) & (c >= 1) & (c <= num_ac) & (c - 1 < rem)
 
 
 def _qim_sparse_delta(ys, bits, valid, delta):
@@ -300,15 +324,15 @@ def _qim_sparse_delta(ys, bits, valid, delta):
 
 def _embed_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref, bh_i_ref,
                   delta_ref, lim_ref, stego_ref, *,
-                  stripe, w, num_ac, cap, rn, rp):
+                  stripe, w, w_real, num_ac, cap, rn, rp):
     delta = delta_ref[0]
     x = _u8_to_f32(frames_ref[0])           # block is (1, stripe, w)
     ys = _dct2_compact(x, pvr_ref[:], bh_f_ref[:], w)
 
     bits = _u8_to_f32(rows_ref[0])          # compact layout, no scatter
     valid = _qim_valid_compact(
-        lim_ref[0], lim_ref[1], stripe=stripe, w=w, num_ac=num_ac, cap=cap,
-        rn=rn, rp=rp,
+        lim_ref[0], lim_ref[1], stripe=stripe, w=w, w_real=w_real,
+        num_ac=num_ac, cap=cap, rn=rn, rp=rp,
     )
     dy = _qim_sparse_delta(ys, bits, valid, delta)
 
@@ -391,8 +415,7 @@ def _embed_frames_pallas(
     interpret: bool,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     b, h, w = frames.shape
-    if w % _LANE:
-        raise ValueError(f"pallas path needs W % {_LANE} == 0, got {w}")
+    wp = _lane_pad(w)
     stripe = pick_stripe(h)
     rn = rows_per_block(num_ac)
     rp = _rows_pad(stripe, rn)
@@ -401,7 +424,7 @@ def _embed_frames_pallas(
     total_bits = total_bits.astype(jnp.int32)
     bit_offset = jnp.asarray(bit_offset, dtype=jnp.int32)
 
-    rows = payload_to_rows(payload_bits, h, w, num_ac, stripe)
+    rows = _pad_lanes(payload_to_rows(payload_bits, h, w, num_ac, stripe), wp)
     delta_arr = jnp.asarray(delta, dtype=jnp.float32).reshape(1)
     lim = jnp.stack([total_bits, bit_offset]).astype(jnp.int32)
 
@@ -409,30 +432,32 @@ def _embed_frames_pallas(
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     stego = pl.pallas_call(
-        functools.partial(_embed_kernel, stripe=stripe, w=w, num_ac=num_ac,
-                          cap=cap, rn=rn, rp=rp),
+        functools.partial(_embed_kernel, stripe=stripe, w=wp, w_real=w,
+                          num_ac=num_ac, cap=cap, rn=rn, rp=rp),
         grid=grid,
         compiler_params=_DIMSEM,
         in_specs=[
-            pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, stripe, wp), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rp, w), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, rp, wp), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             mat_spec, mat_spec, mat_spec, mat_spec,
             smem_spec, smem_spec,
         ],
-        out_specs=pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, stripe, wp), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((b, h, wp), jnp.uint8),
         interpret=interpret,
     )(
-        frames, rows,
+        _pad_lanes(frames, wp), rows,
         jnp.asarray(_vert_reduced_matrix(stripe, rn)),
         jnp.asarray(_vert_expand_matrix(stripe, rn)),
         jnp.asarray(_horiz_matrix(inverse=False)),
         jnp.asarray(_horiz_matrix(inverse=True)),
         delta_arr, lim,
     )
+    if wp != w:
+        stego = stego[:, :, :w]
 
     bits_per_frame = jnp.clip(
         total_bits - bit_offset - jnp.arange(b, dtype=jnp.int32) * cap, 0, cap
@@ -465,8 +490,7 @@ def _extract_frames_pallas_rows(
 ) -> jnp.ndarray:
     """Extract kernel only: bits in the compact slot-rows layout."""
     b, h, w = frames.shape
-    if w % _LANE:
-        raise ValueError(f"pallas path needs W % {_LANE} == 0, got {w}")
+    wp = _lane_pad(w)
     stripe = pick_stripe(h)
     rn = rows_per_block(num_ac)
     rp = _rows_pad(stripe, rn)
@@ -475,26 +499,27 @@ def _extract_frames_pallas_rows(
     grid = (b, h // stripe)
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     bits_rows = pl.pallas_call(
-        functools.partial(_extract_kernel, w=w),
+        functools.partial(_extract_kernel, w=wp),
         grid=grid,
         compiler_params=_DIMSEM,
         in_specs=[
-            pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, stripe, wp), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             mat_spec, mat_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, rp, w), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, rp, wp), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, (h // stripe) * rp, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((b, (h // stripe) * rp, wp), jnp.uint8),
         interpret=interpret,
     )(
-        frames,
+        _pad_lanes(frames, wp),
         jnp.asarray(_vert_reduced_matrix(stripe, rn)),
         jnp.asarray(_horiz_matrix(inverse=False)),
         delta_arr,
     )
-
+    if wp != w:
+        bits_rows = bits_rows[:, :, :w]  # pad blocks carry no payload
     return bits_rows
 
 
@@ -505,8 +530,7 @@ def _extract_frames_pallas_rows_packed(
     """Extract kernel only: bits PACKED 8/byte in the compact layout
     (B, (H/stripe)*rp, W/8)."""
     b, h, w = frames.shape
-    if w % _LANE:
-        raise ValueError(f"pallas path needs W % {_LANE} == 0, got {w}")
+    wp = _lane_pad(w)
     stripe = pick_stripe(h)
     rn = rows_per_block(num_ac)
     rp = _rows_pad(stripe, rn)
@@ -514,34 +538,37 @@ def _extract_frames_pallas_rows_packed(
 
     grid = (b, h // stripe)
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_extract_kernel_packed, w=w),
+    packed = pl.pallas_call(
+        functools.partial(_extract_kernel_packed, w=wp),
         grid=grid,
         compiler_params=_DIMSEM,
         in_specs=[
-            pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, stripe, wp), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             mat_spec, mat_spec, mat_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, rp, w // BLOCK), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, rp, wp // BLOCK), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (b, (h // stripe) * rp, w // BLOCK), jnp.uint8
+            (b, (h // stripe) * rp, wp // BLOCK), jnp.uint8
         ),
         interpret=interpret,
     )(
-        frames,
+        _pad_lanes(frames, wp),
         jnp.asarray(_vert_reduced_matrix(stripe, rn)),
         jnp.asarray(_horiz_matrix(inverse=False)),
-        jnp.asarray(_pack_matrix(w)),
+        jnp.asarray(_pack_matrix(wp)),
         delta_arr,
     )
+    if wp != w:
+        packed = packed[:, :, : w // BLOCK]  # one byte per REAL block column
+    return packed
 
 
 def _roundtrip_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
                       bh_i_ref, delta_ref, lim_ref, stego_ref, bits_ref, *,
-                      stripe, w, num_ac, cap, rn, rp):
+                      stripe, w, w_real, num_ac, cap, rn, rp):
     """Embed AND re-extract in one VMEM pass: the quantized stego never
     leaves the chip between the two transforms."""
     delta = delta_ref[0]
@@ -550,8 +577,8 @@ def _roundtrip_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
 
     bits = _u8_to_f32(rows_ref[0])
     valid = _qim_valid_compact(
-        lim_ref[0], lim_ref[1], stripe=stripe, w=w, num_ac=num_ac, cap=cap,
-        rn=rn, rp=rp,
+        lim_ref[0], lim_ref[1], stripe=stripe, w=w, w_real=w_real,
+        num_ac=num_ac, cap=cap, rn=rn, rp=rp,
     )
     dy = _qim_sparse_delta(ys, bits, valid, delta)
     xd = _idct2_sparse(dy, pve_ref[:], bh_i_ref[:], w)
@@ -565,7 +592,8 @@ def _roundtrip_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
 
 def _roundtrip_kernel_packed(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
                              bh_i_ref, pk_ref, delta_ref, lim_ref, stego_ref,
-                             bits_ref, *, stripe, w, num_ac, cap, rn, rp):
+                             bits_ref, *, stripe, w, w_real, num_ac, cap, rn,
+                             rp):
     """_roundtrip_kernel with the re-extracted bits packed 8/byte before the
     HBM write (one extra small MXU matmul, 8x less bits traffic)."""
     delta = delta_ref[0]
@@ -574,8 +602,8 @@ def _roundtrip_kernel_packed(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
 
     bits = _u8_to_f32(rows_ref[0])
     valid = _qim_valid_compact(
-        lim_ref[0], lim_ref[1], stripe=stripe, w=w, num_ac=num_ac, cap=cap,
-        rn=rn, rp=rp,
+        lim_ref[0], lim_ref[1], stripe=stripe, w=w, w_real=w_real,
+        num_ac=num_ac, cap=cap, rn=rn, rp=rp,
     )
     dy = _qim_sparse_delta(ys, bits, valid, delta)
     xd = _idct2_sparse(dy, pve_ref[:], bh_i_ref[:], w)
@@ -594,50 +622,52 @@ def _embed_and_extract_frames_pallas_packed(
     frames, payload_bits, total_bits, delta, num_ac, interpret
 ):
     b, h, w = frames.shape
-    if w % _LANE:
-        raise ValueError(f"pallas path needs W % {_LANE} == 0, got {w}")
+    wp = _lane_pad(w)
     stripe = pick_stripe(h)
     rn = rows_per_block(num_ac)
     rp = _rows_pad(stripe, rn)
     nb = (h // BLOCK) * (w // BLOCK)
     cap = nb * num_ac
 
-    rows = payload_to_rows(payload_bits, h, w, num_ac, stripe)
+    rows = _pad_lanes(payload_to_rows(payload_bits, h, w, num_ac, stripe), wp)
     delta_arr = delta.reshape(1)
     lim = jnp.stack([total_bits, jnp.int32(0)]).astype(jnp.int32)
 
     grid = (b, h // stripe)
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    tile_spec = pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
+    tile_spec = pl.BlockSpec((1, stripe, wp), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM)
-    rows_spec = pl.BlockSpec((1, rp, w), lambda i, j: (i, j, 0),
+    rows_spec = pl.BlockSpec((1, rp, wp), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM)
-    packed_spec = pl.BlockSpec((1, rp, w // BLOCK), lambda i, j: (i, j, 0),
+    packed_spec = pl.BlockSpec((1, rp, wp // BLOCK), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)
     stego, bits_packed = pl.pallas_call(
-        functools.partial(_roundtrip_kernel_packed, stripe=stripe, w=w,
-                          num_ac=num_ac, cap=cap, rn=rn, rp=rp),
+        functools.partial(_roundtrip_kernel_packed, stripe=stripe, w=wp,
+                          w_real=w, num_ac=num_ac, cap=cap, rn=rn, rp=rp),
         grid=grid,
         compiler_params=_DIMSEM,
         in_specs=[tile_spec, rows_spec, mat_spec, mat_spec, mat_spec,
                   mat_spec, mat_spec, smem_spec, smem_spec],
         out_specs=(tile_spec, packed_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
-            jax.ShapeDtypeStruct((b, (h // stripe) * rp, w // BLOCK),
+            jax.ShapeDtypeStruct((b, h, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((b, (h // stripe) * rp, wp // BLOCK),
                                  jnp.uint8),
         ),
         interpret=interpret,
     )(
-        frames, rows,
+        _pad_lanes(frames, wp), rows,
         jnp.asarray(_vert_reduced_matrix(stripe, rn)),
         jnp.asarray(_vert_expand_matrix(stripe, rn)),
         jnp.asarray(_horiz_matrix(inverse=False)),
         jnp.asarray(_horiz_matrix(inverse=True)),
-        jnp.asarray(_pack_matrix(w)),
+        jnp.asarray(_pack_matrix(wp)),
         delta_arr, lim,
     )
+    if wp != w:
+        stego = stego[:, :, :w]
+        bits_packed = bits_packed[:, :, : w // BLOCK]
     extracted = packed_rows_to_bits(bits_packed, h, w, num_ac, stripe)
     bits_per_frame = jnp.clip(
         total_bits - jnp.arange(b, dtype=jnp.int32) * cap, 0, cap
@@ -647,7 +677,7 @@ def _embed_and_extract_frames_pallas_packed(
 
 def _embed_check_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
                         bh_i_ref, delta_ref, lim_ref, stego_ref, err_ref, *,
-                        stripe, w, num_ac, cap, rn, rp):
+                        stripe, w, w_real, num_ac, cap, rn, rp):
     """Embed + in-VMEM re-extract + error COUNT (no bits output at all).
 
     The verified-embed fast path needs only the stego and "did any payload
@@ -665,8 +695,8 @@ def _embed_check_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
 
     bits = _u8_to_f32(rows_ref[0])
     valid = _qim_valid_compact(
-        lim_ref[0], lim_ref[1], stripe=stripe, w=w, num_ac=num_ac, cap=cap,
-        rn=rn, rp=rp,
+        lim_ref[0], lim_ref[1], stripe=stripe, w=w, w_real=w_real,
+        num_ac=num_ac, cap=cap, rn=rn, rp=rp,
     )
     dy = _qim_sparse_delta(ys, bits, valid, delta)
     xd = _idct2_sparse(dy, pve_ref[:], bh_i_ref[:], w)
@@ -692,28 +722,27 @@ def _embed_and_check_frames_pallas(
 ):
     """(stego, bits_per_frame, errors_per_frame) — the verified fast path."""
     b, h, w = frames.shape
-    if w % _LANE:
-        raise ValueError(f"pallas path needs W % {_LANE} == 0, got {w}")
+    wp = _lane_pad(w)
     stripe = pick_stripe(h)
     rn = rows_per_block(num_ac)
     rp = _rows_pad(stripe, rn)
     nb = (h // BLOCK) * (w // BLOCK)
     cap = nb * num_ac
 
-    rows = payload_to_rows(payload_bits, h, w, num_ac, stripe)
+    rows = _pad_lanes(payload_to_rows(payload_bits, h, w, num_ac, stripe), wp)
     delta_arr = jnp.asarray(delta, jnp.float32).reshape(1)
     lim = jnp.stack([total_bits.astype(jnp.int32), jnp.int32(0)])
 
     grid = (b, h // stripe)
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    tile_spec = pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
+    tile_spec = pl.BlockSpec((1, stripe, wp), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM)
-    rows_spec = pl.BlockSpec((1, rp, w), lambda i, j: (i, j, 0),
+    rows_spec = pl.BlockSpec((1, rp, wp), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM)
     err_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # full (B, 1) buffer
     stego, errors = pl.pallas_call(
-        functools.partial(_embed_check_kernel, stripe=stripe, w=w,
+        functools.partial(_embed_check_kernel, stripe=stripe, w=wp, w_real=w,
                           num_ac=num_ac, cap=cap, rn=rn, rp=rp),
         grid=grid,
         compiler_params=_DIMSEM,
@@ -721,18 +750,20 @@ def _embed_and_check_frames_pallas(
                   mat_spec, smem_spec, smem_spec],
         out_specs=(tile_spec, err_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((b, h, wp), jnp.uint8),
             jax.ShapeDtypeStruct((b, 1), jnp.int32),
         ),
         interpret=interpret,
     )(
-        frames, rows,
+        _pad_lanes(frames, wp), rows,
         jnp.asarray(_vert_reduced_matrix(stripe, rn)),
         jnp.asarray(_vert_expand_matrix(stripe, rn)),
         jnp.asarray(_horiz_matrix(inverse=False)),
         jnp.asarray(_horiz_matrix(inverse=True)),
         delta_arr, lim,
     )
+    if wp != w:
+        stego = stego[:, :, :w]
     bits_per_frame = jnp.clip(
         total_bits.astype(jnp.int32) - jnp.arange(b, dtype=jnp.int32) * cap,
         0, cap,
@@ -786,27 +817,26 @@ def _embed_and_extract_frames_pallas(
     frames, payload_bits, total_bits, delta, num_ac, interpret
 ):
     b, h, w = frames.shape
-    if w % _LANE:
-        raise ValueError(f"pallas path needs W % {_LANE} == 0, got {w}")
+    wp = _lane_pad(w)
     stripe = pick_stripe(h)
     rn = rows_per_block(num_ac)
     rp = _rows_pad(stripe, rn)
     nb = (h // BLOCK) * (w // BLOCK)
     cap = nb * num_ac
 
-    rows = payload_to_rows(payload_bits, h, w, num_ac, stripe)
+    rows = _pad_lanes(payload_to_rows(payload_bits, h, w, num_ac, stripe), wp)
     delta_arr = delta.reshape(1)
     lim = jnp.stack([total_bits, jnp.int32(0)]).astype(jnp.int32)
 
     grid = (b, h // stripe)
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    tile_spec = pl.BlockSpec((1, stripe, w), lambda i, j: (i, j, 0),
+    tile_spec = pl.BlockSpec((1, stripe, wp), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM)
-    rows_spec = pl.BlockSpec((1, rp, w), lambda i, j: (i, j, 0),
+    rows_spec = pl.BlockSpec((1, rp, wp), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM)
     stego, bits_rows = pl.pallas_call(
-        functools.partial(_roundtrip_kernel, stripe=stripe, w=w,
+        functools.partial(_roundtrip_kernel, stripe=stripe, w=wp, w_real=w,
                           num_ac=num_ac, cap=cap, rn=rn, rp=rp),
         grid=grid,
         compiler_params=_DIMSEM,
@@ -814,18 +844,21 @@ def _embed_and_extract_frames_pallas(
                   mat_spec, smem_spec, smem_spec],
         out_specs=(tile_spec, rows_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
-            jax.ShapeDtypeStruct((b, (h // stripe) * rp, w), jnp.uint8),
+            jax.ShapeDtypeStruct((b, h, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((b, (h // stripe) * rp, wp), jnp.uint8),
         ),
         interpret=interpret,
     )(
-        frames, rows,
+        _pad_lanes(frames, wp), rows,
         jnp.asarray(_vert_reduced_matrix(stripe, rn)),
         jnp.asarray(_vert_expand_matrix(stripe, rn)),
         jnp.asarray(_horiz_matrix(inverse=False)),
         jnp.asarray(_horiz_matrix(inverse=True)),
         delta_arr, lim,
     )
+    if wp != w:
+        stego = stego[:, :, :w]
+        bits_rows = bits_rows[:, :, :w]
     extracted = rows_to_bits(bits_rows, h, w, num_ac, stripe)
     bits_per_frame = jnp.clip(
         total_bits - jnp.arange(b, dtype=jnp.int32) * cap, 0, cap

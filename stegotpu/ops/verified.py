@@ -164,7 +164,7 @@ def embed_frames_verified_fast(
     only when clipping actually flipped bits does the proven XLA repair
     path run (correctness over speed on that rare branch). Falls back to
     the XLA implementation entirely where the Pallas kernel can't run
-    (W % 128 != 0 or non-TPU backend).
+    (non-TPU backend).
     """
     b, h, w = frames.shape
     from stegotpu.ops.dispatch import _use_pallas

@@ -190,3 +190,34 @@ def test_clipping_data_loss_matches_oracle():
     )
     oracle = extract_frame_oracle(oracle_stego, DELTA, N_AC)[:N_AC]
     assert ours == oracle  # identical (wrong) bits: same failure semantics
+
+
+def test_pallas_nonlane_width_matches_oracle(rng):
+    """Lane-padded Pallas at a non-128-multiple width vs the independent
+    scalar oracle: extracted bits equal in both directions (the r3 VERDICT
+    item 4 golden case; reference handles any >=8x8 frame,
+    embed_process.py:94)."""
+    from stegotpu.ops.pallas_kernel import (
+        embed_frames_pallas,
+        extract_frames_pallas,
+    )
+
+    h, w = 24, 80  # 80 % 128 != 0: exercises the pad/mask path
+    frame = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    cap = (h // 8) * (w // 8) * N_AC
+    payload = "".join(rng.integers(0, 2, cap).astype(str))
+    bits = pad_bits(string_to_bits(payload), cap).reshape(1, cap)
+
+    # oracle embed -> pallas extract
+    oracle_stego, _ = embed_frame_oracle(frame, payload, DELTA, N_AC)
+    ours = extract_frames_pallas(jnp.asarray(oracle_stego[None]),
+                                 jnp.float32(DELTA), N_AC)
+    assert bits_to_string(np.asarray(ours)[0]) == payload
+
+    # pallas embed -> oracle extract
+    stego, bpf = embed_frames_pallas(
+        jnp.asarray(frame[None]), jnp.asarray(bits), jnp.int32(cap),
+        jnp.float32(DELTA), N_AC,
+    )
+    assert int(np.asarray(bpf)[0]) == cap
+    assert extract_frame_oracle(np.asarray(stego)[0], DELTA, N_AC) == payload

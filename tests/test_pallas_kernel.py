@@ -144,3 +144,71 @@ def test_packed_extract_matches_unpacked(rng):
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
         np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
         np.testing.assert_array_equal(np.asarray(bpf1), np.asarray(bpf2))
+
+
+@pytest.mark.parametrize("h,w", [(48, 80), (48, 336), (120, 720)])
+def test_pallas_nonlane_width(rng, h, w):
+    """Non-128-multiple widths (the r3 VERDICT gap: 720x480, 1366x768-
+    cropped-to-1360, sub-lane frames) run the Pallas path via lane padding:
+    bit offsets/bpf match the XLA baseline exactly, extraction is
+    bit-identical in both directions, and all fused variants agree."""
+    from stegotpu.ops.pallas_kernel import (
+        embed_and_extract_frames_pallas_fused,
+        embed_and_extract_frames_pallas_packed,
+    )
+
+    b = 2
+    frames = rng.integers(0, 256, (b, h, w), dtype=np.uint8)
+    cap = (h // 8) * (w // 8) * N_AC
+    total = b * cap - 5  # end mid-block in the last frame
+    payload = np.zeros(b * cap, np.uint8)
+    payload[:total] = rng.integers(0, 2, total)
+    payload = payload.reshape(b, cap)
+    args = (jnp.asarray(frames), jnp.asarray(payload), jnp.int32(total),
+            jnp.float32(DELTA), N_AC)
+
+    stego_b, bpf_b = embed_frames(*args)
+    stego_p, bpf_p = embed_frames_pallas(*args)
+    assert stego_p.shape == (b, h, w)
+    np.testing.assert_array_equal(np.asarray(bpf_b), np.asarray(bpf_p))
+    diff = np.abs(np.asarray(stego_b).astype(int)
+                  - np.asarray(stego_p).astype(int))
+    assert (diff > 1).mean() < _stego_flip_budget()
+
+    # extract: bit-identical on the same stego, both kernels
+    ex_b = np.asarray(extract_frames(stego_b, jnp.float32(DELTA), N_AC))
+    ex_p = np.asarray(extract_frames_pallas(stego_b, jnp.float32(DELTA), N_AC))
+    np.testing.assert_array_equal(ex_b, ex_p)
+
+    # roundtrip through the pallas stego recovers the payload exactly
+    ex = np.asarray(extract_frames_pallas(stego_p, jnp.float32(DELTA), N_AC))
+    np.testing.assert_array_equal(ex.reshape(-1)[:total],
+                                  payload.reshape(-1)[:total])
+
+    # fused variants (packed default + unpacked) agree bit-for-bit
+    st_f, bpf_f, ex_f = embed_and_extract_frames_pallas_fused(*args)
+    st_k, bpf_k, ex_k = embed_and_extract_frames_pallas_packed(*args)
+    np.testing.assert_array_equal(np.asarray(ex_f), np.asarray(ex_k))
+    np.testing.assert_array_equal(np.asarray(st_f), np.asarray(st_k))
+    np.testing.assert_array_equal(
+        np.asarray(ex_k).reshape(-1)[:total], payload.reshape(-1)[:total])
+
+
+def test_pallas_nonlane_width_verified_check(rng):
+    """The verified fast path's fused check kernel also runs lane-padded:
+    zero errors on a midrange cover, stego matches the plain embed."""
+    from stegotpu.ops.pallas_kernel import _embed_and_check_frames_pallas
+
+    h, w = 48, 80
+    frames = rng.integers(60, 196, (2, h, w), dtype=np.uint8)
+    cap = (h // 8) * (w // 8) * N_AC
+    total = 2 * cap
+    payload = rng.integers(0, 2, (2, cap)).astype(np.uint8)
+    stego, bpf, errors = _embed_and_check_frames_pallas(
+        jnp.asarray(frames), jnp.asarray(payload), jnp.int32(total),
+        jnp.float32(DELTA), N_AC, True,
+    )
+    assert stego.shape == (2, h, w)
+    assert int(np.asarray(errors).sum()) == 0
+    ex = np.asarray(extract_frames(stego, jnp.float32(DELTA), N_AC))
+    np.testing.assert_array_equal(ex.reshape(-1), payload.reshape(-1))

@@ -43,8 +43,10 @@ def test_dispatch_selection():
     assert dispatch.embed_fn("auto", 1080, 1920) is qim.embed_frames
     assert dispatch.embed_fn("xla", 1080, 1920) is qim.embed_frames
     assert dispatch.embed_fn("pallas", 1080, 1920) is pallas_kernel.embed_frames_pallas
-    # pallas needs W % 128 == 0 -> falls back
-    assert dispatch.embed_fn("pallas", 240, 320) is qim.embed_frames
+    # non-128-multiple widths now run pallas via lane padding (r4)
+    assert dispatch.embed_fn("pallas", 240, 320) is pallas_kernel.embed_frames_pallas
+    # non-8-multiple frames (pre-crop) still fall back
+    assert dispatch.embed_fn("pallas", 240, 322) is qim.embed_frames
     assert dispatch.extract_fn("pallas", 1080, 1920) is pallas_kernel.extract_frames_pallas
 
 
