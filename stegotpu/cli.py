@@ -154,12 +154,31 @@ def cmd_embed(args) -> int:
             print(f"sealed payload saved to '{state_npy}' "
                   "(contains the ciphertext — protect like the stego)")
 
-    res = embed_image_in_video(
-        args.cover, args.secret, args.output, pub,
-        _config_from_args(args), batch_frames=args.batch, timer=timer,
-        mesh=_mesh_from_args(args), frame_range=frame_range,
-        sealed_bits=sealed,
-    )
+    procs = getattr(args, "procs", 1) or 1
+    if procs > 1:
+        if frame_range is not None:
+            print("error: --procs cuts its own segments; it cannot combine "
+                  "with --frame-range", file=sys.stderr)
+            return 1
+        if getattr(args, "mesh", None):
+            print("error: --procs (host-parallel segments) and --mesh "
+                  "(device mesh) cannot combine; use dist-embed for the "
+                  "full hierarchy", file=sys.stderr)
+            return 1
+        from stegotpu.parallel.local_procs import parallel_embed
+
+        res = parallel_embed(
+            args.cover, args.secret, args.output, pub,
+            _config_from_args(args), batch_frames=args.batch, procs=procs,
+            sealed_bits=sealed,
+        )
+    else:
+        res = embed_image_in_video(
+            args.cover, args.secret, args.output, pub,
+            _config_from_args(args), batch_frames=args.batch, timer=timer,
+            mesh=_mesh_from_args(args), frame_range=frame_range,
+            sealed_bits=sealed,
+        )
     _report_timer(timer)
     if not res.success:
         if res.residual_bits:
@@ -186,10 +205,25 @@ def cmd_extract(args) -> int:
     priv = crypto.load_private_pem(args.private_key)
     timer = _make_timer(args)
     cfg = _config_from_args(args)
-    res = extract_image_from_video(
-        args.stego, priv, cfg, args.output,
-        batch_frames=args.batch, timer=timer, mesh=_mesh_from_args(args),
-    )
+    procs = getattr(args, "procs", 1) or 1
+    if procs > 1 and getattr(args, "mesh", None):
+        print("error: --procs (host-parallel segments) and --mesh (device "
+              "mesh) cannot combine; use dist-extract for the full "
+              "hierarchy", file=sys.stderr)
+        return 1
+
+    def run(run_cfg):
+        if procs > 1:
+            from stegotpu.parallel.local_procs import parallel_extract
+
+            return parallel_extract(args.stego, priv, run_cfg, args.output,
+                                    batch_frames=args.batch, procs=procs)
+        return extract_image_from_video(
+            args.stego, priv, run_cfg, args.output,
+            batch_frames=args.batch, timer=timer, mesh=_mesh_from_args(args),
+        )
+
+    res = run(cfg)
     if not res.success and getattr(args, "auto_params", False):
         # RECOVERY MODE: the QIM lattice leaks delta and num_ac to anyone
         # (steganalysis.py — the scheme hides content, not parameters), so
@@ -215,11 +249,7 @@ def cmd_extract(args) -> int:
                   f"coeffs={n_est} — retrying", file=sys.stderr)
             cfg = dataclasses.replace(cfg, delta=rep.best_delta,
                                       num_ac_coeffs=n_est)
-            res = extract_image_from_video(
-                args.stego, priv, cfg, args.output,
-                batch_frames=args.batch, timer=timer,
-                mesh=_mesh_from_args(args),
-            )
+            res = run(cfg)
         else:
             print("RECOVERY FAILED: no QIM lattice detected "
                   f"(verdict: {rep.verdict}) — not a stego video, or the "
@@ -719,6 +749,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="persist/reuse the sealed payload across segment "
                         "runs (separate invocations must embed the same "
                         "crypto stream); created on first use")
+    e.add_argument("--procs", type=int, default=1, metavar="N",
+                   help="run N segment-parallel worker pipelines on this "
+                        "host (one seal, exact-seek segments, packet-concat "
+                        "stitch; pixel-identical to --procs 1) — "
+                        "parallelizes the FFmpeg codec bottleneck across "
+                        "local cores")
     e.add_argument("--timing", action="store_true",
                    help="print decode/device/encode stage timing to stderr")
     _add_qim_flags(e)
@@ -817,6 +853,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "delta/coeffs from the stego's QIM lattice "
                         "(steganalysis) and retry — for stegos whose "
                         "out-of-band parameters were lost")
+    x.add_argument("--procs", type=int, default=1, metavar="N",
+                   help="decode the payload's frame range with N "
+                        "segment-parallel workers (header parsed first to "
+                        "bound the range; exact seek per worker) — "
+                        "parallelizes the FFmpeg decode bottleneck")
     _add_qim_flags(x)
     _add_mesh_flag(x)
     x.set_defaults(fn=cmd_extract)

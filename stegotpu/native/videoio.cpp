@@ -44,6 +44,7 @@ struct Reader {
   int64_t nframes = 0;
   bool draining = false;
   bool done = false;
+  bool pending = false;  // r->frame holds an undelivered frame (post-seek)
   std::string err;
 };
 
@@ -222,8 +223,14 @@ int svx_reader_read_batch(void* h, uint8_t* bgr_out, uint8_t* gray_out,
   const size_t gray_bytes = static_cast<size_t>(crop_h) * crop_w;
   int produced = 0;
   while (produced < batch) {
-    // pull a decoded frame
-    int ret = avcodec_receive_frame(r->dec, r->frame);
+    // pull a decoded frame (or the one a seek left in hand)
+    int ret;
+    if (r->pending) {
+      r->pending = false;
+      ret = 0;
+    } else {
+      ret = avcodec_receive_frame(r->dec, r->frame);
+    }
     if (ret == 0) {
       if (!r->sws) {
         r->sws = sws_getContext(r->width, r->height,
@@ -288,6 +295,79 @@ int svx_reader_read_batch(void* h, uint8_t* bgr_out, uint8_t* gray_out,
     av_packet_unref(r->pkt);
   }
   return produced;
+}
+
+// Position the stream so the NEXT delivered frame is `frame_index`
+// (0-based). Exact: seeks the demuxer to the nearest prior keyframe, then
+// decodes forward discarding frames below the target — for the intra-only
+// codecs this library writes (FFV1/HuffYUV/rawvideo) the keyframe IS the
+// target and nothing is discarded; inter-coded covers (mp4) pay only the
+// keyframe->target stretch instead of a decode from frame 0.
+// Returns 0 on success (seeking past EOF parks the reader at EOF),
+// -1 on error (unseekable container, no frame rate, decoder failure).
+int svx_reader_seek(void* h, int64_t frame_index) {
+  auto* r = static_cast<Reader*>(h);
+  AVStream* st = r->fmt->streams[r->stream_idx];
+  AVRational fr =
+      st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+  if (!fr.num || !fr.den) {
+    set_err("seek: unknown frame rate");
+    return -1;
+  }
+  const int64_t start =
+      st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+  const int64_t ts =
+      start + av_rescale_q(frame_index, av_inv_q(fr), st->time_base);
+  if (av_seek_frame(r->fmt, r->stream_idx, ts, AVSEEK_FLAG_BACKWARD) < 0) {
+    set_err("seek failed (unseekable container?)");
+    return -1;
+  }
+  avcodec_flush_buffers(r->dec);
+  if (r->pending) av_frame_unref(r->frame);
+  r->draining = false;
+  r->done = false;
+  r->pending = false;
+  while (true) {
+    int ret = avcodec_receive_frame(r->dec, r->frame);
+    if (ret == 0) {
+      int64_t pts = r->frame->best_effort_timestamp;
+      if (pts == AV_NOPTS_VALUE) pts = r->frame->pts;
+      const int64_t idx =
+          (pts == AV_NOPTS_VALUE)
+              ? frame_index  // no timestamps at all: trust the demuxer seek
+              : av_rescale_q(pts - start, st->time_base, av_inv_q(fr));
+      if (idx >= frame_index) {
+        r->pending = true;  // delivered by the next read_batch
+        return 0;
+      }
+      av_frame_unref(r->frame);
+      continue;
+    }
+    if (ret == AVERROR_EOF) {
+      r->done = true;  // sought past the end: reads return 0 (EOF)
+      return 0;
+    }
+    if (ret != AVERROR(EAGAIN)) {
+      set_err("decode error during seek");
+      return -1;
+    }
+    if (r->draining) continue;
+    ret = av_read_frame(r->fmt, r->pkt);
+    if (ret < 0) {
+      r->draining = true;
+      avcodec_send_packet(r->dec, nullptr);
+      continue;
+    }
+    if (r->pkt->stream_index == r->stream_idx) {
+      ret = avcodec_send_packet(r->dec, r->pkt);
+      if (ret < 0 && ret != AVERROR_INVALIDDATA && ret != AVERROR(EAGAIN)) {
+        av_packet_unref(r->pkt);
+        set_err("decoder rejected packet during seek");
+        return -1;
+      }
+    }
+    av_packet_unref(r->pkt);
+  }
 }
 
 void svx_reader_close(void* h) {

@@ -49,6 +49,8 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.svx_reader_close.argtypes = [ctypes.c_void_p]
+        lib.svx_reader_seek.restype = ctypes.c_int
+        lib.svx_reader_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.svx_writer_open.restype = ctypes.c_void_p
         lib.svx_writer_open.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
@@ -124,6 +126,14 @@ class NativeVideoReader:
             return None
         return (bgr[:got] if want_bgr else None,
                 gray[:got] if want_gray else None)
+
+    def seek(self, frame_index: int) -> None:
+        """Position so the next read delivers `frame_index` (0-based),
+        EXACTLY: keyframe seek + decode-forward discard in C (intra-only
+        stego containers land directly; inter-coded covers decode only the
+        keyframe->target stretch). Seeking past EOF parks at EOF."""
+        if self._lib.svx_reader_seek(self._h, int(frame_index)) < 0:
+            raise IOError(self._lib.svx_last_error().decode())
 
     def read_batch(self, batch: int, crop_h: int, crop_w: int) -> np.ndarray | None:
         """Returns (n, crop_h, crop_w, 3) uint8 BGR, or None at EOF."""

@@ -277,9 +277,16 @@ def distributed_extract(
 
         # lazy forward reader over THIS host's segment: per-frame bit rows,
         # buffered across rounds (round windows need not align to batches)
+        seen = 0
+        if 0 < lo < frame_count:
+            try:
+                reader.seek(lo)  # exact (video.py): skip the decode of the
+                seen = lo        # pre-segment prefix entirely
+            except OSError as e:
+                log.warning("segment seek failed (%s); falling back to "
+                            "decode-and-discard", e)
         batches_iter = reader.batches(batch_frames, mode="gray")
         buf: list[np.ndarray] = []  # per-frame (cap,) bit arrays, in order
-        seen = 0
         exhausted = False
 
         def take(n_frames: int) -> list[np.ndarray]:

@@ -1,0 +1,257 @@
+"""Single-host segment-parallel product pipelines (``--procs N``).
+
+The proven e2e bottleneck is the host codec (E2E_BENCH.json names FFmpeg
+lossless encode/decode in every row; the reference's single-threaded loop is
+embed_process.py:88-152). The multi-host machinery already parallelizes it
+across machines (dist_pipeline); this module is the same segment contract
+collapsed to ONE command on one host, no coordinator ceremony: the video
+splits into batch-aligned frame-range segments, N worker pipelines run them
+concurrently, and the native packet concat stitches a byte-exact result.
+
+Workers are threads, not OS processes: every hot stage (FFmpeg decode and
+encode, XLA compute) releases the GIL, so workers genuinely overlap on
+multi-core hosts — the embed-batch ``--jobs`` design validated in round 3
+(cli.py:_run_file_batch) — while the jit cache and the sealed payload are
+shared for free and a single accelerator is not contended by N device
+runtimes (one TPU chip admits one client process).
+
+Exact container seek (video.py:VideoReader.seek) is what makes this scale:
+worker k jumps straight to its segment instead of decoding the whole prefix
+(N workers would otherwise re-decode O(N^2/2) frames between them, capping
+the speedup well below N on decode-bound paths).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from stegotpu import payload as payload_mod
+from stegotpu.bitstream import bits_to_bytes
+from stegotpu.config import StegoConfig
+from stegotpu.image import bytes_to_pixels, image_to_bits, save_image_gray
+from stegotpu.parallel.dist_pipeline import segment_bounds
+from stegotpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def parallel_embed(
+    video_in: str | Path,
+    secret_image: str | Path,
+    video_out: str | Path,
+    receiver_pub_compressed: bytes,
+    config: StegoConfig = StegoConfig(),
+    batch_frames: int = 8,
+    procs: int = 2,
+    rng=None,
+    sealed_bits=None,
+) -> "EmbedResult":
+    """One-command segment-parallel embed across `procs` local workers.
+
+    The payload is sealed ONCE (one ephemeral key/salt/nonce — every worker
+    embeds slices of the identical crypto stream), segments are cut on
+    batch boundaries, and the output is stitched by packet stream-copy:
+    byte-for-byte what the segment encoders produced, pixel-identical to a
+    single-pipeline run of the same sealed payload.
+    """
+    from stegotpu.native.videoio import available, build_error, concat_videos
+    from stegotpu.pipeline import EmbedResult, _embed_payload
+    from stegotpu.video import VideoReader, force_avi_path
+
+    if procs < 2:
+        raise ValueError("parallel_embed needs procs >= 2 (use the plain "
+                         "pipeline for 1)")
+    if not available():
+        raise OSError(f"--procs needs the native concat layer ({build_error()})")
+
+    width, height, img_bits = image_to_bits(secret_image)
+    img_bytes = bits_to_bytes(img_bits)
+    if sealed_bits is None:
+        sealed_bits, _ = payload_mod.seal_payload(
+            img_bytes, width, height, receiver_pub_compressed,
+            config.dims_bits, rng=rng,
+        )
+    sealed_bits = np.asarray(sealed_bits, dtype=np.uint8)
+    total = int(sealed_bits.size)
+
+    with VideoReader(video_in) as probe:
+        frame_count = probe.info.frame_count
+        h8, w8 = probe.info.cropped
+    if frame_count <= 0:
+        raise ValueError(
+            "--procs needs a container-reported frame count to cut segments")
+    if config.frame_capacity_bits(h8, w8) == 0:
+        return EmbedResult(False, None, total, 0, 0)
+
+    bounds = segment_bounds(frame_count, procs, batch_frames)
+    out_path = Path(force_avi_path(video_out))
+    live = [(i, lo, hi) for i, (lo, hi) in enumerate(bounds)
+            if lo < frame_count]
+    seg_paths = {i: out_path.with_suffix(f".seg{i}.avi") for i, _, _ in live}
+
+    def run_segment(i: int, lo: int, hi: int | None):
+        return _embed_payload(
+            video_in, img_bytes, width, height, seg_paths[i],
+            receiver_pub_compressed, config, batch_frames,
+            frame_range=(lo, hi), sealed_bits=sealed_bits,
+        )
+
+    with ThreadPoolExecutor(max_workers=len(live)) as pool:
+        futures = [(i, pool.submit(run_segment, i, lo, hi))
+                   for i, lo, hi in live]
+        results = {}
+        errors = []
+        for i, fut in futures:
+            try:
+                results[i] = fut.result()
+            except Exception as e:  # noqa: BLE001 — cleanup, then re-raise
+                errors.append(e)
+
+    def cleanup():
+        for p in seg_paths.values():
+            Path(p).unlink(missing_ok=True)
+
+    if errors:
+        cleanup()
+        raise errors[0]
+    bits_embedded = max(r.bits_embedded for r in results.values())
+    residual = sum(r.residual_bits for r in results.values())
+    ok = all(r.success for r in results.values()) and bits_embedded >= total
+    if not ok or (residual and not config.allow_residual):
+        cleanup()
+        first = results.get(live[0][0])
+        return EmbedResult(False, None, total, bits_embedded, frame_count,
+                           first.first_original_gray if first else None,
+                           first.first_stego_gray if first else None,
+                           residual)
+    concat_videos(out_path, [str(seg_paths[i]) for i, _, _ in live])
+    cleanup()
+    first = results[live[0][0]]
+    log.info("parallel embed: %d segments, %d bits, %d frames",
+             len(live), total, frame_count)
+    return EmbedResult(True, str(out_path), total, bits_embedded, frame_count,
+                       first.first_original_gray, first.first_stego_gray,
+                       residual)
+
+
+def _segment_bits(stego_video, lo: int, hi: int, h8: int, w8: int,
+                  config: StegoConfig, batch_frames: int) -> np.ndarray:
+    """Worker body: the wire-order QIM bits of stego frames [lo, hi)."""
+    from stegotpu.ops.dispatch import extract_fn
+    from stegotpu.video import VideoReader
+
+    delta = jnp.float32(config.delta)
+    xfn = extract_fn(config.kernel, h8, w8)
+    out: list[np.ndarray] = []
+    got, need = 0, hi - lo
+    with VideoReader(stego_video) as reader:
+        reader.seek(lo)
+        for gray in reader.batches(batch_frames, mode="gray"):
+            n = gray.shape[0]
+            take = min(n, need - got)
+            if n < batch_frames:
+                gray = np.concatenate(
+                    [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)])
+            bits = np.asarray(xfn(jnp.asarray(gray), delta,
+                                  config.num_ac_coeffs))[:take]
+            out.append(bits.reshape(-1))
+            got += take
+            if got >= need:
+                break
+    return (np.concatenate(out) if out else np.zeros((0,), np.uint8))
+
+
+def parallel_extract(
+    stego_video: str | Path,
+    receiver_private,
+    config: StegoConfig = StegoConfig(),
+    output_image: str | Path | None = None,
+    batch_frames: int = 8,
+    procs: int = 2,
+) -> "ExtractResult":
+    """One-command segment-parallel extract across `procs` local workers.
+
+    Phase 1 parses only the HEADER (pipeline.inspect_stego_header) to learn
+    the exact payload length, so the frame range to decode is known up
+    front; phase 2 splits that range into batch-aligned segments, each
+    worker seeks to its start and extracts its bits; the assembled stream
+    then decrypts exactly as in the single-pipeline path.
+    """
+    from stegotpu.payload import NeedMoreBits, open_payload, parse_payload_bits
+    from stegotpu.pipeline import ExtractResult, inspect_stego_header
+    from stegotpu.video import VideoReader
+
+    if procs < 2:
+        raise ValueError("parallel_extract needs procs >= 2")
+    try:
+        hdr = inspect_stego_header(stego_video, config)
+    except ValueError as e:
+        return ExtractResult(False, error=str(e))
+    frames_needed = int(hdr["payload_frames"])
+
+    with VideoReader(stego_video) as probe:
+        h8, w8 = probe.info.cropped
+        frame_count = probe.info.frame_count
+    if 0 < frame_count < frames_needed:
+        return ExtractResult(
+            False, frames_read=frame_count,
+            error=f"payload spans {frames_needed} frames but the video has "
+                  f"{frame_count}")
+
+    bounds = segment_bounds(frames_needed, procs, batch_frames)
+    live = [(lo, hi if hi is not None else frames_needed)
+            for lo, hi in bounds if lo < frames_needed]
+    with ThreadPoolExecutor(max_workers=len(live)) as pool:
+        futures = [pool.submit(_segment_bits, stego_video, lo, hi, h8, w8,
+                               config, batch_frames) for lo, hi in live]
+        try:
+            chunks = [f.result() for f in futures]
+        except OSError as e:
+            return ExtractResult(False, error=f"video read failed: {e}",
+                                 frames_read=frames_needed)
+    have = np.concatenate(chunks)
+
+    try:
+        parts, _ = parse_payload_bits(have, config.dims_bits)
+    except NeedMoreBits:
+        # segment workers decoded short (truncated container mid-payload)
+        return ExtractResult(
+            False, frames_read=frames_needed,
+            error=f"video ended before payload complete ({have.size} bits read)")
+    except ValueError as e:
+        return ExtractResult(False, error=str(e), frames_read=frames_needed)
+    try:
+        plaintext, hash_ok = open_payload(parts, receiver_private)
+    except ValueError as e:
+        return ExtractResult(False, parts=parts, frames_read=frames_needed,
+                             error=f"payload fields invalid ({e})")
+    if plaintext is None:
+        return ExtractResult(False, parts=parts, frames_read=frames_needed,
+                             error="AES-GCM authentication failed")
+    if not hash_ok:
+        log.warning("SHA3-256 mismatch: image may be corrupt "
+                    "(continuing, like reference)")
+    if parts.is_raw_data:
+        out = None
+        if output_image is not None:
+            Path(output_image).write_bytes(plaintext)
+            out = str(output_image)
+        return ExtractResult(True, data=plaintext, hash_ok=hash_ok,
+                             parts=parts, output_path=out,
+                             frames_read=frames_needed)
+    try:
+        pixels = bytes_to_pixels(plaintext, parts.secret_width,
+                                 parts.secret_height)
+    except ValueError as e:
+        return ExtractResult(False, parts=parts, hash_ok=hash_ok,
+                             error=str(e), frames_read=frames_needed)
+    out = None
+    if output_image is not None:
+        save_image_gray(pixels, output_image)
+        out = str(output_image)
+    return ExtractResult(True, pixels=pixels, hash_ok=hash_ok, parts=parts,
+                         output_path=out, frames_read=frames_needed)

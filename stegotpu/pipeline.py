@@ -276,6 +276,18 @@ def _embed_payload(
         out_path = force_avi_path(video_out)
         cursor = min(total, lo * cap_bits)  # bits owned by earlier segments
         frames_seen = 0
+        if lo > 0:
+            # exact container seek (video.py): the pre-segment frames are
+            # never decoded — this is what makes N local segment pipelines
+            # scale instead of each re-decoding the whole prefix. The
+            # decode-and-discard branch below stays as both the semantic
+            # spec and the fallback for unseekable containers.
+            try:
+                reader.seek(lo)
+                frames_seen = lo
+            except OSError as e:
+                log.warning("segment seek failed (%s); falling back to "
+                            "decode-and-discard", e)
         residual_total = 0
         first_orig = first_stego = None
         # One-deep device pipeline: batch k+1 is dispatched before batch k's

@@ -92,6 +92,21 @@ class VideoReader:
                 frame_count=int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT)),
             )
 
+    def seek(self, frame_index: int) -> None:
+        """Position so the next read delivers frame `frame_index` (0-based),
+        EXACTLY. Native backend: C-side keyframe seek + decode-forward
+        (intra-only stego containers land directly). cv2 fallback: grab()
+        loop from the start — correct for any codec (cv2's CAP_PROP_POS_FRAMES
+        seek is not exactness-guaranteed on inter-coded streams, and a wrong
+        frame here silently corrupts segment embeds). Call before iteration.
+        """
+        if self._native is not None:
+            self._native.seek(frame_index)
+            return
+        for _ in range(frame_index):
+            if not self._cap.grab():
+                break  # past EOF: subsequent reads return None
+
     def read_frame(self, crop: bool = True) -> np.ndarray | None:
         h, w = self.info.cropped if crop else (self.info.height, self.info.width)
         if self._native is not None:

@@ -1,0 +1,139 @@
+"""Single-host segment-parallel product path (`--procs N`, r3 VERDICT
+item 3): exact container seek, parallel embed/extract correctness
+(pixel-identity vs the single-pipeline run), and the CLI wiring."""
+
+import numpy as np
+import pytest
+
+from stegotpu import crypto, fixtures
+from stegotpu.cli import main
+from stegotpu.config import StegoConfig
+from stegotpu.image import load_image_gray
+from stegotpu.native.videoio import available
+from stegotpu.video import VideoReader, VideoWriter
+
+
+@pytest.mark.parametrize("backend", ["native", "cv2"])
+@pytest.mark.parametrize("container", ["mp4", "avi"])
+def test_seek_exact(tmp_path, backend, container):
+    """VideoReader.seek positions EXACTLY on inter-coded (mp4) and
+    intra-only (FFV1 avi) containers, including past-EOF."""
+    if backend == "native" and not available():
+        pytest.skip("native layer not built")
+    n = 14
+    if container == "mp4":
+        path = tmp_path / "c.mp4"
+        fixtures.make_cover_video(path, 160, 128, frames=n, kind="moving",
+                                  seed=3)
+    else:
+        path = tmp_path / "c.avi"
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 256, (n, 64, 96), np.uint8)
+        with VideoWriter(path, 24.0, 96, 64, "FFV1") as w:
+            w.write_gray_batch(frames)
+
+    with VideoReader(path, backend=backend) as r:
+        seq = np.concatenate(list(r.batches(4, mode="gray")))
+    for k in (0, 3, 7, n - 1, n + 5):
+        with VideoReader(path, backend=backend) as r:
+            r.seek(k)
+            got = list(r.batches(4, mode="gray"))
+            flat = (np.concatenate(got) if got
+                    else np.zeros((0,) + seq.shape[1:], np.uint8))
+        assert flat.shape[0] == max(0, n - k), (k, flat.shape)
+        np.testing.assert_array_equal(flat, seq[k:], err_msg=str(k))
+
+
+@pytest.fixture
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    assert main(["genkey"]) == 0
+    fixtures.make_secret_image("s.png", 96, 96, kind="noise", seed=21)
+    fixtures.make_cover_video("c.mp4", 320, 240, frames=24, kind="moving",
+                              seed=22)
+    return tmp_path
+
+
+@pytest.mark.skipif(not available(), reason="native layer not built")
+def test_procs_embed_pixel_identical_and_extract(workdir, capsys):
+    """`embed --procs 3` output is byte-level pixel-identical to the
+    single-pipeline run of the same sealed payload, and both plain and
+    `--procs 2` extract recover the secret exactly."""
+    assert main(["embed", "c.mp4", "s.png", "one", "--payload-state", "p",
+                 "--batch", "4"]) == 0
+    assert main(["embed", "c.mp4", "s.png", "par", "--payload-state", "p",
+                 "--batch", "4", "--procs", "3"]) == 0
+    capsys.readouterr()
+    import cv2
+
+    def frames_of(p):
+        cap = cv2.VideoCapture(p)
+        out = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            out.append(f)
+        cap.release()
+        return np.stack(out)
+
+    np.testing.assert_array_equal(frames_of("one.avi"), frames_of("par.avi"))
+
+    assert main(["extract", "par.avi", "x1.png"]) == 0
+    assert main(["extract", "par.avi", "x2.png", "--procs", "2"]) == 0
+    secret = load_image_gray("s.png")
+    np.testing.assert_array_equal(load_image_gray("x1.png"), secret)
+    np.testing.assert_array_equal(load_image_gray("x2.png"), secret)
+
+
+@pytest.mark.skipif(not available(), reason="native layer not built")
+def test_procs_more_workers_than_segments(workdir, capsys):
+    """procs > payload segments: idle workers are skipped, result intact."""
+    from stegotpu.parallel.local_procs import parallel_embed, parallel_extract
+
+    pub = crypto.serialize_public_compressed(
+        crypto.load_public_pem("bob_public_key.pem"))
+    priv = crypto.load_private_pem("bob_private_key.pem")
+    cfg = StegoConfig()
+    rng = np.random.default_rng(9)
+    res = parallel_embed("c.mp4", "s.png", "many", pub, cfg, batch_frames=4,
+                         procs=16, rng=rng)
+    assert res.success and res.frames_used == 24
+    ext = parallel_extract("many.avi", priv, cfg, "xm.png", batch_frames=4,
+                           procs=16)
+    assert ext.success and ext.hash_ok, ext.error
+    np.testing.assert_array_equal(load_image_gray("xm.png"),
+                                  load_image_gray("s.png"))
+
+
+@pytest.mark.skipif(not available(), reason="native layer not built")
+def test_procs_extract_structured_failures(workdir, capsys):
+    """parallel_extract keeps the structured-error contract: truncated
+    payload region and non-stego inputs fail with .error, no exception."""
+    from stegotpu.parallel.local_procs import parallel_extract
+
+    assert main(["embed", "c.mp4", "s.png", "st", "--batch", "4"]) == 0
+    capsys.readouterr()
+    priv = crypto.load_private_pem("bob_private_key.pem")
+
+    # truncate inside the payload region
+    raw = (workdir / "st.avi").read_bytes()
+    (workdir / "cut.avi").write_bytes(raw[: len(raw) // 3])
+    res = parallel_extract("cut.avi", priv, StegoConfig(), procs=2)
+    assert not res.success and res.error
+
+    # non-stego: noise bits never yield a usable header
+    res = parallel_extract("c.mp4", priv, StegoConfig(), procs=2)
+    assert not res.success and res.error
+
+
+def test_procs_flag_conflicts(workdir, capsys):
+    assert main(["embed", "c.mp4", "s.png", "o", "--procs", "2",
+                 "--frame-range", "0:8"]) == 1
+    assert "--frame-range" in capsys.readouterr().err
+    assert main(["embed", "c.mp4", "s.png", "o", "--procs", "2",
+                 "--mesh", "data=2"]) == 1
+    assert "--mesh" in capsys.readouterr().err
+    assert main(["extract", "x.avi", "o.png", "--procs", "2",
+                 "--mesh", "data=2"]) == 1
+    assert "--mesh" in capsys.readouterr().err
