@@ -30,6 +30,35 @@ import numpy as np
 
 NORTH_STAR_FPS = 2000.0
 
+# measured u8 streaming ceiling of this chip+runtime (docs/TUNING.md:160-173:
+# pure-copy Pallas sweeps plateau at ~110-115 GB/s for u8; plain XLA
+# elementwise reaches 144 — narrow-dtype streaming sits far below HBM spec
+# everywhere, so 115 is the honest kernel-reachable ceiling)
+U8_CEILING_GBPS = 115.0
+
+
+def chain_bytes_per_frame(h: int, w: int, n_ac: int) -> int:
+    """HBM bytes the fused-packed roundtrip chain moves per frame: the
+    pallas_call's reads (u8 frame + compact payload rows) and writes (u8
+    stego + packed bits), plus the XLA layout passes' traffic (payload bits
+    read -> rows written; packed read -> wire-order bits written). The
+    chained bench fuses rows_to_bits with the next iteration's
+    payload_to_rows (docs/TUNING.md "Measurement footnote"), so this model
+    slightly OVERSTATES bytes — i.e. understates achieved GB/s: a
+    conservative MFU figure."""
+    from stegotpu.config import BLOCK
+    from stegotpu.ops.pallas_kernel import (_rows_pad, pick_stripe,
+                                            rows_per_block)
+
+    stripe = pick_stripe(h)
+    rp = _rows_pad(stripe, rows_per_block(n_ac))
+    rows = (h // stripe) * rp * w          # compact payload rows plane
+    packed = (h // stripe) * rp * (w // BLOCK)
+    cap = (h // BLOCK) * (w // BLOCK) * n_ac
+    kernel = h * w + rows + h * w + packed          # frame+rows in, stego+packed out
+    layout = (cap + rows) + (packed + cap)          # payload_to_rows + unpack
+    return kernel + layout
+
 
 def main() -> None:
     import jax
@@ -85,6 +114,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     fps = b * k_chain / dt
+    gbps = fps * chain_bytes_per_frame(h, w, n_ac) / 1e9
     print(
         json.dumps(
             {
@@ -92,6 +122,8 @@ def main() -> None:
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / NORTH_STAR_FPS, 3),
+                "gbps": round(gbps, 1),
+                "pct_u8_ceiling": round(100 * gbps / U8_CEILING_GBPS, 1),
             }
         )
     )

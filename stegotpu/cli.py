@@ -696,6 +696,24 @@ def cmd_selftest(args) -> int:
     if not (ext.hash_ok and identical):
         print("SELFTEST FAILED", file=sys.stderr)
         return 1
+    import jax
+
+    if jax.default_backend() == "tpu":
+        # on real hardware, re-prove compiled-Pallas bit-exactness vs the
+        # XLA baseline (tools/tpucheck.py is the full sweep; this is the
+        # single-config version — TPUCHECK_r04.json documents the policy)
+        from stegotpu.ops.exactness import quick_exactness_check
+
+        print("TPU backend: compiled-kernel exactness check...")
+        row = quick_exactness_check()
+        print("kernel exactness:", "OK" if row["ok"] else "VIOLATION",
+              f"(stego extract mismatches: {row['extract_mismatch_stego']}, "
+              f"non-boundary cover: "
+              f"{row['extract_mismatch_cover_nonboundary']})")
+        if not row["ok"]:
+            print("SELFTEST FAILED: compiled Pallas kernel does not match "
+                  "the XLA baseline", file=sys.stderr)
+            return 1
     print("SELFTEST PASSED")
     return 0
 

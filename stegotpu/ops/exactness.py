@@ -1,0 +1,190 @@
+"""On-device kernel exactness checks: compiled Pallas vs the XLA baseline.
+
+The library half of tools/tpucheck.py (which writes the committed
+TPUCHECK_r04.json artifact); `selftest` runs the quick single-config check
+whenever the backend is a real TPU, so every on-chip smoke run re-proves
+compiled-kernel bit-exactness, not just a BER bound.
+
+Policy (what "exact" means between two f32 kernels):
+
+- A extracted bit is round(y/delta) mod 2. The two kernels compute y with
+  differently-ordered f32 matmuls (XLA at Precision.HIGHEST; Mosaic MXU
+  passes), so y differs by float noise — a bit can only legitimately flip
+  where y sits within that noise of a rounding boundary. The check computes
+  each slot's absolute distance to its nearest boundary and tolerates
+  mismatches ONLY inside a noise envelope `tol = 1e-3 + 1e-5 * |y|`
+  (absolute term: accumulated addend rounding; relative term: matmul
+  accumulation error). Any mismatch OUTSIDE the envelope — on any content —
+  is a miscompile: zero tolerance.
+- packed vs unpacked Pallas extract must be bit-identical on ANY content
+  (the pack matmul is exact small-integer arithmetic): zero tolerance.
+- the fused roundtrip's extracted bits must equal extracting its own stego
+  with the standalone kernel: zero tolerance.
+- on ROBUST parameter pairs (delta >= 8, num_ac <= 30 — the envelope
+  test_param_sweep pins BER=0 for), BOTH kernels must recover the payload
+  with zero errors. Non-robust pairs (delta=1, num_ac=63) lose bits to
+  clipping/requantization in the ALGORITHM (the reference does too —
+  tests/test_kernel_golden.py:144-150); their error counts are recorded,
+  not asserted, and differ between kernels because clipped coefficients
+  land near boundaries.
+
+Reference contract: config_and_setup.py:106-174.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import numpy as np
+
+EXACT_KEYS = [
+    "bpf_mismatch",
+    "extract_mismatch_cover_nonboundary",
+    "extract_mismatch_stego_nonboundary",
+    "extract_packed_vs_unpacked_cover",
+    "extract_packed_vs_unpacked_stego",
+    "fused_vs_standalone_mismatch",
+]
+
+
+def is_robust(delta: float, num_ac: int) -> bool:
+    """The BER=0 parameter envelope (tests/test_kernel_golden.py sweep)."""
+    return delta >= 8 and num_ac <= 30
+
+
+def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,
+                 verbose: bool = True) -> list[dict]:
+    """One compile; a row of on-device scalar comparisons per delta."""
+    import jax
+    import jax.numpy as jnp
+
+    from stegotpu.ops import qim
+    from stegotpu.ops.pallas_kernel import (
+        _extract_frames_pallas_rows,
+        embed_and_extract_frames_pallas_packed,
+        embed_frames_pallas,
+        extract_frames_pallas,
+        rows_to_bits,
+        pick_stripe,
+    )
+
+    interpret = jax.default_backend() == "cpu"
+    cap = (h // 8) * (w // 8) * num_ac
+
+    @functools.partial(jax.jit, static_argnames=())
+    def compare(frames, payload, total, delta):
+        # --- embed: both kernels ---
+        stego_x, bpf_x = qim.embed_frames(frames, payload, total, delta,
+                                          num_ac)
+        stego_p, bpf_p = embed_frames_pallas(frames, payload, total, delta,
+                                             num_ac)
+        bpf_mismatch = jnp.sum((bpf_x != bpf_p).astype(jnp.int32))
+        diff = jnp.abs(stego_x.astype(jnp.int32) - stego_p.astype(jnp.int32))
+        stego_maxdiff = jnp.max(diff)
+        stego_gt1 = jnp.sum((diff > 1).astype(jnp.int32))
+
+        def xdiff(fr):
+            """(mismatches, nonboundary mismatches, max boundary distance
+            among mismatches, packed-vs-unpacked mismatches, ex_p)."""
+            ex_x = qim.extract_frames(fr, delta, num_ac)
+            ex_p = extract_frames_pallas(fr, delta, num_ac)
+            ex_u = rows_to_bits(
+                _extract_frames_pallas_rows(fr, delta, num_ac, interpret),
+                h, w, num_ac, pick_stripe(h))
+            from stegotpu.ops.dct import blockify, kron_dct_matrix
+
+            xb = blockify(fr.astype(jnp.float32))
+            y = jnp.einsum("bnk,ck->bnc", xb, jnp.asarray(kron_dct_matrix(8)),
+                           precision=jax.lax.Precision.HIGHEST)
+            ys = y[..., 1 : num_ac + 1].reshape(fr.shape[0], -1)
+            frac = ys / delta - jnp.floor(ys / delta)
+            dist = jnp.abs(frac - 0.5) * delta   # abs distance to boundary
+            tol = 1e-3 + 1e-5 * jnp.abs(ys)      # float-noise envelope
+            mm = ex_x != ex_p
+            return (jnp.sum(mm.astype(jnp.int32)),
+                    jnp.sum((mm & (dist >= tol)).astype(jnp.int32)),
+                    jnp.max(jnp.where(mm, dist, 0.0)),
+                    jnp.sum((ex_u != ex_p).astype(jnp.int32)), ex_p)
+
+        mm_c, mm_c_nb, mm_c_dist, pu_c, _ = xdiff(frames)
+        mm_s, mm_s_nb, mm_s_dist, pu_s, ex_stego = xdiff(stego_p)
+
+        # --- fused roundtrip: its extracted bits == standalone extract ---
+        st_f, _, ex_f = embed_and_extract_frames_pallas_packed(
+            frames, payload, total, delta, num_ac)
+        fused_vs_standalone = jnp.sum(
+            (ex_f != extract_frames_pallas(st_f, delta, num_ac)
+             ).astype(jnp.int32))
+
+        # --- roundtrip payload recovery, both kernels, valid bits only ---
+        idx = jax.lax.broadcasted_iota(jnp.int32, payload.shape, 0) * cap + \
+            jax.lax.broadcasted_iota(jnp.int32, payload.shape, 1)
+        valid = idx < total
+        err_p = jnp.sum((valid & (ex_stego != payload)).astype(jnp.int32))
+        err_x = jnp.sum(
+            (valid & (qim.extract_frames(stego_x, delta, num_ac) != payload)
+             ).astype(jnp.int32))
+        return (bpf_mismatch, stego_maxdiff, stego_gt1,
+                mm_c, mm_c_nb, mm_c_dist, pu_c,
+                mm_s, mm_s_nb, mm_s_dist, pu_s,
+                fused_vs_standalone, err_p, err_x)
+
+    frames = jax.device_put(rng.integers(0, 256, (b, h, w), dtype=np.uint8))
+    payload = jax.device_put(
+        rng.integers(0, 2, (b, cap), dtype=np.uint8))
+    rows = []
+    for delta in deltas:
+        # payload ends mid-block in the last frame (the parse-boundary case)
+        total = jnp.int32(b * cap - 13)
+        t0 = time.perf_counter()
+        out = [float(v) for v in compare(frames, payload, total,
+                                         jnp.float32(delta))]
+        dt = time.perf_counter() - t0
+        (bpf_mm, maxdiff, gt1, mc, mcnb, mcd, puc, ms, msnb, msd, pus,
+         fvs, err_p, err_x) = out
+        rows.append({
+            "h": h, "w": w, "batch": b, "num_ac": num_ac, "delta": delta,
+            "total_bits": int(b * cap - 13),
+            "robust": is_robust(delta, num_ac),
+            "bpf_mismatch": int(bpf_mm),
+            "stego_max_abs_diff": int(maxdiff),
+            "stego_gt1_frac": round(gt1 / (b * h * w), 6),
+            # boundary flips recorded; NONboundary = zero tolerance
+            "extract_mismatch_cover": int(mc),
+            "extract_mismatch_cover_nonboundary": int(mcnb),
+            "max_mismatch_dist_cover": round(mcd, 6),
+            "extract_mismatch_stego": int(ms),
+            "extract_mismatch_stego_nonboundary": int(msnb),
+            "max_mismatch_dist_stego": round(msd, 6),
+            "extract_packed_vs_unpacked_cover": int(puc),   # ZERO tolerance
+            "extract_packed_vs_unpacked_stego": int(pus),   # ZERO tolerance
+            "fused_vs_standalone_mismatch": int(fvs),       # ZERO tolerance
+            "roundtrip_errors_pallas": int(err_p),
+            "roundtrip_errors_xla": int(err_x),
+            "wall_s": round(dt, 2),
+        })
+        if verbose:
+            print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def row_ok(row: dict) -> bool:
+    """The full invariant set for one row (see module docstring)."""
+    if any(row[k] != 0 for k in EXACT_KEYS):
+        return False
+    if row["robust"]:
+        return (row["roundtrip_errors_pallas"] == 0
+                and row["roundtrip_errors_xla"] == 0)
+    return True
+
+
+def quick_exactness_check(rng=None, verbose: bool = False) -> dict:
+    """One selftest-sized config; returns the result row plus ok flag."""
+    if rng is None:
+        rng = np.random.default_rng(42)
+    rows = check_config(4, 240, 384, 10, [20.0], rng, verbose=verbose)
+    row = rows[0]
+    row["ok"] = row_ok(row)
+    return row

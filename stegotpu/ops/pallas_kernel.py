@@ -258,19 +258,53 @@ def _vert_expand_matrix(stripe: int, rn: int, dtype=np.float32) -> np.ndarray:
     return _vert_reduced_matrix(stripe, rn, dtype).T.copy()
 
 
-def _horiz_apply(y, bh, w):
+def _split_bf16(a):
+    """a (f32) as (hi, lo) bf16 pair with hi + lo ≈ a to ~2^-16 relative."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_f32(a, b, a_exact=False, b_exact=False):
+    """f32-faithful matmul on the MXU via manual bf16 splitting.
+
+    Mosaic's DEFAULT f32 matmul is a single bf16 MXU pass (~2e-3 relative
+    coefficient error — measured on-chip, TPUCHECK r4), which drifts
+    coefficients off the reference's f32 scipy DCT far enough to flip
+    extracted bits at the delta/2 margin edge; its only alternative,
+    HIGHEST (6 passes), measured a 34% fps hit on the fused roundtrip. The
+    bf16x3 split (a_hi@b_hi + a_lo@b_hi + a_hi@b_lo, f32 accumulation) is
+    ~1e-6 relative — thousands of times inside both the QIM margin and the
+    exactness envelope — at half HIGHEST's passes, and operands that are
+    EXACT in bf16 (u8 pixel planes: integers <= 255 fit bf16's 8-bit
+    mantissa) drop their correction term: a pixel-input DCT costs 2 passes.
+    """
+    a_hi, a_lo = (a.astype(jnp.bfloat16), None) if a_exact else _split_bf16(a)
+    b_hi, b_lo = (b.astype(jnp.bfloat16), None) if b_exact else _split_bf16(b)
+    out = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+    if a_lo is not None:
+        out = out + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+    if b_lo is not None:
+        out = out + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+    return out
+
+
+def _horiz_apply(y, bh, w, y_exact=False):
     """Right-apply the 128x128 block-diagonal horizontal operator via the
     lane-fold reshape ((S', W) -> (S'*W/128, 128), a tile-order
-    reinterpretation)."""
+    reinterpretation), f32-faithful (see _dot_f32)."""
     s2 = y.shape[0]
     yr = y.reshape(s2 * (w // _LANE), _LANE)
-    return jnp.dot(yr, bh, preferred_element_type=jnp.float32).reshape(s2, w)
+    return _dot_f32(yr, bh, a_exact=y_exact).reshape(s2, w)
 
 
 def _dct2_compact(x, pvr, bh_f, w):
-    """(S, W) f32 stripe -> compact slot-row coefficients (rows_pad, W):
-    reduced vertical matmul, then the horizontal pass on the compact array."""
-    y = jnp.dot(pvr, x, preferred_element_type=jnp.float32)
+    """(S, W) f32 PIXEL stripe -> compact slot-row coefficients (rows_pad,
+    W): reduced vertical matmul, then the horizontal pass on the compact
+    array. Every call site feeds u8-derived pixel planes, which are exact
+    in bf16 (integers <= 255) — the vertical pass needs no pixel
+    correction term (2 MXU passes, _dot_f32)."""
+    y = _dot_f32(pvr, x, b_exact=True)
     return _horiz_apply(y, bh_f, w)
 
 
@@ -279,7 +313,7 @@ def _idct2_sparse(dy, pve, bh_i, w):
     slot rows: horizontal inverse on the compact array, then the (S,
     rows_pad) vertical expansion. (rows_pad, W) -> (S, W)."""
     dh = _horiz_apply(dy, bh_i, w)
-    return jnp.dot(pve, dh, preferred_element_type=jnp.float32)
+    return _dot_f32(pve, dh)
 
 
 def _qim_valid_compact(total, offset, *, stripe, w, w_real, num_ac, cap, rn,

@@ -96,7 +96,8 @@ def embed_frames(
 
     xb = blockify(frames.astype(jnp.float32), block)  # (B, nb, 64)
     k = jnp.asarray(kron_dct_matrix(block))
-    y = jnp.einsum("bnc,kc->bnk", xb, k, preferred_element_type=jnp.float32)
+    y = jnp.einsum("bnc,kc->bnk", xb, k, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
     ac = _ac_slice(y, num_ac)  # (B, nb, N)
     # Remaining bits at each block's first slot (global index offset + i*C +
@@ -116,7 +117,9 @@ def embed_frames(
     y_new = jnp.concatenate(
         [y[..., :1], ac_new, y[..., 1 + num_ac :]], axis=-1
     )
-    x_out = jnp.einsum("bnk,kc->bnc", y_new, k, preferred_element_type=jnp.float32)
+    x_out = jnp.einsum("bnk,kc->bnc", y_new, k,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     # Blocks whose first slot lies past the payload end were never entered:
     # they pass through with NO transform roundtrip (config_and_setup.py:130-132).
@@ -147,7 +150,8 @@ def extract_frames(
     b, h, w = frames.shape
     xb = blockify(frames.astype(jnp.float32), block)
     k = jnp.asarray(kron_dct_matrix(block))
-    y = jnp.einsum("bnc,kc->bnk", xb, k, preferred_element_type=jnp.float32)
+    y = jnp.einsum("bnc,kc->bnk", xb, k, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     ac = _ac_slice(y, num_ac)
     # delta <= 0 degenerate path: all-zero bits, explicitly (the reference
     # appends '0' per slot, config_and_setup.py:143-145; dividing by zero

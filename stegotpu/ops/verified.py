@@ -70,7 +70,8 @@ def embed_frames_verified(
     entered = rem > 0
 
     xb = blockify(frames.astype(jnp.float32), block)  # original blocks
-    y0 = jnp.einsum("bnc,kc->bnk", xb, k, preferred_element_type=jnp.float32)
+    y0 = jnp.einsum("bnc,kc->bnk", xb, k, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     ac0 = _ac_slice(y0, num_ac)
 
     # standard directional QIM codes (reference semantics)
@@ -84,7 +85,8 @@ def embed_frames_verified(
         ac_new = jnp.where(valid, q_codes * delta, ac0)
         dc = y0[..., :1] + dc_shift[..., None]
         y_new = jnp.concatenate([dc, ac_new, y0[..., 1 + num_ac :]], axis=-1)
-        x_out = jnp.einsum("bnk,kc->bnc", y_new, k, preferred_element_type=jnp.float32)
+        x_out = jnp.einsum("bnk,kc->bnc", y_new, k, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         return jnp.where(entered, x_out, xb)
 
     def finalize(x_float):
@@ -93,7 +95,8 @@ def embed_frames_verified(
 
     def recovered_bits(stego_u8):
         yb = blockify(stego_u8.astype(jnp.float32), block)
-        y = jnp.einsum("bnc,kc->bnk", yb, k, preferred_element_type=jnp.float32)
+        y = jnp.einsum("bnc,kc->bnk", yb, k, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         qr = jnp.round(_ac_slice(y, num_ac) / delta)
         return jnp.mod(qr, 2.0)
 

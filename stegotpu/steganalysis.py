@@ -53,7 +53,8 @@ def lattice_scores(
     """
     xb = blockify(frames.astype(jnp.float32))
     k64 = jnp.asarray(kron_dct_matrix())
-    y = jnp.einsum("bnc,kc->bnk", xb, k64, preferred_element_type=jnp.float32)
+    y = jnp.einsum("bnc,kc->bnk", xb, k64, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     b = frames.shape[0]
     ac = y[..., 1 : 1 + num_ac].reshape(b, -1)  # (B, slots)
 
@@ -83,7 +84,8 @@ def _per_slot_scores(frames: jnp.ndarray, delta: jnp.ndarray,
     """
     xb = blockify(frames.astype(jnp.float32))
     k64 = jnp.asarray(kron_dct_matrix())
-    y = jnp.einsum("bnc,kc->bnk", xb, k64, preferred_element_type=jnp.float32)
+    y = jnp.einsum("bnc,kc->bnk", xb, k64, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     q = jnp.round(y / delta)
     dist = jnp.abs(y - q * delta) / delta
     informative = jnp.abs(y) > (0.75 * delta)
