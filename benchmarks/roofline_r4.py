@@ -52,12 +52,14 @@ def build_variant(name: str, stripe: int, dimsem, cost: bool):
 
     from stegotpu.config import BLOCK
     from stegotpu.ops.pallas_kernel import (
+        _embed_kernel,
+        _horiz2_matrix,
+        _horiz_inv_bf16,
         _pack_matrix,
         _roundtrip_kernel_packed,
         _rows_pad,
-        _horiz_matrix,
-        _vert_expand_matrix,
-        _vert_reduced_matrix,
+        _vert2_matrix,
+        _vert_expand_bf16,
         rows_per_block,
     )
 
@@ -93,9 +95,17 @@ def build_variant(name: str, stripe: int, dimsem, cost: bool):
 
         return run, H * W * 2  # bytes per frame
 
-    kern = (copy_kernel if name == "dmaspec" else functools.partial(
-        _roundtrip_kernel_packed, stripe=stripe, w=W, w_real=W, num_ac=N_AC,
-        cap=cap, rn=rn, rp=rp))
+    if name == "dmaspec":
+        kern = copy_kernel
+    elif name == "embed":
+        # embed-only kernel (no re-extract/pack): splits the fused compute
+        # budget into its embed and re-extract halves
+        kern = functools.partial(_embed_kernel, stripe=stripe, w=W, w_real=W,
+                                 num_ac=N_AC, cap=cap, rn=rn, rp=rp)
+    else:
+        kern = functools.partial(_roundtrip_kernel_packed, stripe=stripe,
+                                 w=W, w_real=W, num_ac=N_AC, cap=cap, rn=rn,
+                                 rp=rp)
 
     def make(b):
         tile = pl.BlockSpec((1, stripe, W), lambda i, j: (i, j, 0),
@@ -106,8 +116,12 @@ def build_variant(name: str, stripe: int, dimsem, cost: bool):
                                    memory_space=pltpu.VMEM)
         mat = pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-        in_specs = ([tile, rows_spec, smem, smem] if name == "dmaspec" else
-                    [tile, rows_spec, mat, mat, mat, mat, mat, smem, smem])
+        if name == "dmaspec":
+            in_specs = [tile, rows_spec, smem, smem]
+        elif name == "embed":
+            in_specs = [tile, rows_spec, mat, mat, mat, mat, smem, smem]
+        else:
+            in_specs = [tile, rows_spec, mat, mat, mat, mat, mat, smem, smem]
         kwargs = {}
         if cost:
             bytes_per = (H * W + (H // stripe) * rp * W + H * W
@@ -115,23 +129,33 @@ def build_variant(name: str, stripe: int, dimsem, cost: bool):
             kwargs["cost_estimate"] = pl.CostEstimate(
                 flops=2 * b * 4 * (H // 8) * 2 * 8 * W * 8,  # 4 matmul passes
                 bytes_accessed=b * bytes_per, transcendentals=0)
+        if name == "embed":
+            out_specs, out_shape = tile, jax.ShapeDtypeStruct((b, H, W),
+                                                              jnp.uint8)
+        else:
+            out_specs = (tile, packed_spec)
+            out_shape = (
+                jax.ShapeDtypeStruct((b, H, W), jnp.uint8),
+                jax.ShapeDtypeStruct((b, (H // stripe) * rp, W // BLOCK),
+                                     jnp.uint8))
         return pl.pallas_call(
             kern, grid=(b, H // stripe),
             compiler_params=pltpu.CompilerParams(dimension_semantics=dimsem),
             in_specs=in_specs,
-            out_specs=(tile, packed_spec),
-            out_shape=(
-                jax.ShapeDtypeStruct((b, H, W), jnp.uint8),
-                jax.ShapeDtypeStruct((b, (H // stripe) * rp, W // BLOCK),
-                                     jnp.uint8)),
+            out_specs=out_specs, out_shape=out_shape,
             interpret=interpret, **kwargs)
 
     mats = None
-    if name != "dmaspec":
-        mats = (np.asarray(_vert_reduced_matrix(stripe, rn)),
-                np.asarray(_vert_expand_matrix(stripe, rn)),
-                np.asarray(_horiz_matrix(inverse=False)),
-                np.asarray(_horiz_matrix(inverse=True)),
+    if name == "embed":
+        mats = (np.asarray(_vert2_matrix(stripe, rn)),
+                np.asarray(_vert_expand_bf16(stripe, rn)),
+                np.asarray(_horiz2_matrix()),
+                np.asarray(_horiz_inv_bf16()))
+    elif name != "dmaspec":
+        mats = (np.asarray(_vert2_matrix(stripe, rn)),
+                np.asarray(_vert_expand_bf16(stripe, rn)),
+                np.asarray(_horiz2_matrix()),
+                np.asarray(_horiz_inv_bf16()),
                 np.asarray(_pack_matrix(W)))
 
     @jax.jit
@@ -167,8 +191,9 @@ def measure(run, b: int, iters: int, stripe: int) -> float:
     def chained(f):
         def body(_, fr):
             out = run(fr, rows, delta_arr, lim)
-            stego = out[0][0] if isinstance(out[0], tuple) else out[0]
-            return stego
+            while isinstance(out, tuple):
+                out = out[0]
+            return out  # the (b, H, W) stego plane feeds the next iteration
         out = jax.lax.fori_loop(0, iters, body, f)
         return jnp.sum(out, dtype=jnp.int32)
 
@@ -197,6 +222,7 @@ def main() -> None:
         ("copy", 120, PAR, False),
         ("dmaspec", 120, PAR, False),
         ("fused", 120, PAR, False),
+        ("embed", 120, PAR, False),
         ("fused_pp", 120, PP, False),
         ("fused_cost", 120, PAR, True),
         ("fused_arb", 120, ARB, False),

@@ -37,7 +37,11 @@ def bits_to_bytes(bits: BitArray) -> bytes:
 
 
 def int_to_bits(value: int, num_bits: int) -> BitArray:
-    """Fixed-width big-endian int -> bit array (reference: config_and_setup.py:32-35)."""
+    """Fixed-width big-endian int -> bit array (reference: config_and_setup.py:32-35).
+
+    Scalar Python loop BY DESIGN: only header FIELDS (8-32 bits each, a
+    handful per payload) pass through here — never pixel data. The bulk
+    paths are the vectorized bytes_to_bits/bits_to_bytes."""
     if value < 0 or value >= (1 << num_bits):
         raise ValueError(f"value {value} out of range for {num_bits} bits")
     return np.array(
@@ -46,7 +50,9 @@ def int_to_bits(value: int, num_bits: int) -> BitArray:
 
 
 def bits_to_int(bits: BitArray, expected_bits: int | None = None) -> int:
-    """Big-endian bit array -> int (reference: config_and_setup.py:37-41)."""
+    """Big-endian bit array -> int (reference: config_and_setup.py:37-41).
+
+    Scalar loop BY DESIGN — header fields only; see int_to_bits."""
     bits = np.asarray(bits, dtype=np.uint8)
     if expected_bits is not None and bits.size != expected_bits:
         raise ValueError(f"bitstream length {bits.size} != expected {expected_bits}")

@@ -85,14 +85,12 @@ def evaluate_stego_result(
 ) -> StegoEvaluation:
     """First-frame video quality + optional extracted-image fidelity
     (reference: evaluasi_hasil_steganografi, evaluation.py:144-233)."""
-    cap_o = cv2.VideoCapture(str(video_original))
-    cap_s = cv2.VideoCapture(str(video_stego))
-    try:
-        if not cap_o.isOpened() or not cap_s.isOpened():
-            raise IOError("cannot open videos for evaluation")
-        ok_o, f_o = cap_o.read()
-        ok_s, f_s = cap_s.read()
-        if not ok_o or not ok_s:
+    from stegotpu.video import VideoReader
+
+    with VideoReader(video_original) as r_o, VideoReader(video_stego) as r_s:
+        f_o = r_o.read_frame(crop=False)
+        f_s = r_s.read_frame(crop=False)
+        if f_o is None or f_s is None:
             raise IOError("cannot read first frames")
         # stego video is cropped to multiples of 8; crop the original the same
         h8, w8 = crop_dims(f_s.shape[0], f_s.shape[1])
@@ -104,13 +102,7 @@ def evaluate_stego_result(
             d.mkdir(parents=True, exist_ok=True)
             cv2.imwrite(str(d / "frame_original.png"), f_o)
             cv2.imwrite(str(d / "frame_stego.png"), f_s)
-        counts = (
-            int(cap_o.get(cv2.CAP_PROP_FRAME_COUNT)),
-            int(cap_s.get(cv2.CAP_PROP_FRAME_COUNT)),
-        )
-    finally:
-        cap_o.release()
-        cap_s.release()
+        counts = (r_o.info.frame_count, r_s.info.frame_count)
 
     image_cmp = None
     if image_original and image_extracted:
@@ -206,15 +198,12 @@ class CapacityReport:
 def capacity_report(video_path: str | Path, config: StegoConfig = StegoConfig()) -> CapacityReport:
     """Embedding capacity of a cover video (fixes reference bug #8:
     evaluasi_capacity_bit_per_frame assumes 1 bit/pixel)."""
-    cap = cv2.VideoCapture(str(video_path))
-    try:
-        if not cap.isOpened():
-            raise IOError(f"cannot open '{video_path}'")
-        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-    finally:
-        cap.release()
+    from stegotpu.video import VideoReader
+
+    with VideoReader(video_path) as reader:
+        w = reader.info.width
+        h = reader.info.height
+        n = reader.info.frame_count
     h8, w8 = crop_dims(h, w)
     qim = config.frame_capacity_bits(h8, w8)
     return CapacityReport(

@@ -20,8 +20,14 @@ Round-2 dataflow — compact rows + sparse-delta embed. Round 1 fed the QIM
 stage a full (B, H, W) uint8 "state plane" built by XLA (40% of embed cost)
 and transformed every coefficient of every block both ways; extract wrote a
 full (H, W) bits image of which 84% was discarded. Round 2 computes only
-what QIM actually touches (and with the compute cut, the kernels now sit
-near the chip's u8-HBM-streaming ceiling — docs/TUNING.md):
+what QIM actually touches. Round 4 made the arithmetic f32-FAITHFUL on
+real TPUs: Mosaic's default f32 matmul is a single bf16 MXU pass whose
+~2e-3 relative error drifts coefficients off the reference's f32 scipy
+lattice (caught by the on-chip exactness harness, ops/exactness.py); the
+DCT path now recovers f32 accuracy via hi/lo-stacked bf16 matmuls at one
+MXU issue per logical op (_vert2_matrix/_horiz2_matrix docstrings), at a
+measured 11% of roundtrip throughput (docs/TUNING.md round 4 — including
+the roofline decomposition of what remains):
 
 - payload slots (flat c = 1..num_ac) live in the first rn = num_ac//8 + 1
   pixel rows of each block. The REDUCED vertical operator (rows_pad, S)
@@ -136,8 +142,14 @@ _DIMSEM = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
 
 def _u8_to_f32(x):
     """Mosaic lacks a direct u8->f32 cast (fails to lower, re-checked round
-    2); hop through int32."""
+    4); hop through int32."""
     return x.astype(jnp.int32).astype(jnp.float32)
+
+
+def _u8_to_bf16(x):
+    """u8 pixel plane -> bf16 via i32 (one pass fewer than the f32 hop;
+    integers <= 255 are bf16-exact, so this is lossless for pixels)."""
+    return x.astype(jnp.int32).astype(jnp.bfloat16)
 
 
 def _f32_to_u8(x):
@@ -258,62 +270,99 @@ def _vert_expand_matrix(stripe: int, rn: int, dtype=np.float32) -> np.ndarray:
     return _vert_reduced_matrix(stripe, rn, dtype).T.copy()
 
 
-def _split_bf16(a):
-    """a (f32) as (hi, lo) bf16 pair with hi + lo ≈ a to ~2^-16 relative."""
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+def _bf16_hi_lo(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Constant matrix as (hi, lo) bf16 pair with hi + lo ~= m to ~2^-16."""
+    import ml_dtypes
+
+    hi = m.astype(ml_dtypes.bfloat16)
+    lo = (m.astype(np.float32) - hi.astype(np.float32)).astype(
+        ml_dtypes.bfloat16)
     return hi, lo
 
 
-def _dot_f32(a, b, a_exact=False, b_exact=False):
-    """f32-faithful matmul on the MXU via manual bf16 splitting.
+@functools.lru_cache(maxsize=None)
+def _vert2_matrix(stripe: int, rn: int) -> np.ndarray:
+    """(2*rows_pad, S) bf16 [hi; lo] stack of the forward vertical operator.
 
-    Mosaic's DEFAULT f32 matmul is a single bf16 MXU pass (~2e-3 relative
-    coefficient error — measured on-chip, TPUCHECK r4), which drifts
-    coefficients off the reference's f32 scipy DCT far enough to flip
-    extracted bits at the delta/2 margin edge; its only alternative,
-    HIGHEST (6 passes), measured a 34% fps hit on the fused roundtrip. The
-    bf16x3 split (a_hi@b_hi + a_lo@b_hi + a_hi@b_lo, f32 accumulation) is
-    ~1e-6 relative — thousands of times inside both the QIM margin and the
-    exactness envelope — at half HIGHEST's passes, and operands that are
-    EXACT in bf16 (u8 pixel planes: integers <= 255 fit bf16's 8-bit
-    mantissa) drop their correction term: a pixel-input DCT costs 2 passes.
-    """
-    a_hi, a_lo = (a.astype(jnp.bfloat16), None) if a_exact else _split_bf16(a)
-    b_hi, b_lo = (b.astype(jnp.bfloat16), None) if b_exact else _split_bf16(b)
-    out = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
-    if a_lo is not None:
-        out = out + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
-    if b_lo is not None:
-        out = out + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
-    return out
+    Why: Mosaic's DEFAULT f32 matmul is a single bf16 MXU pass (~2e-3
+    relative coefficient error — measured on-chip, TPUCHECK r4), which
+    drifts coefficients off the reference's f32 scipy DCT far enough to
+    flip extracted bits at the delta/2 margin edge; its only alternative,
+    HIGHEST (6 passes), measured a 34% fps hit, and the kernel's cost is
+    dominated by per-matmul ISSUE overhead, not MXU cycles (the no-compute
+    dmaspec A/B in benchmarks/roofline_r4.py). So the precision-recovery
+    passes are PACKED INTO SINGLE ISSUES by stacking the hi/lo matrix
+    split along the M dim: u8 pixel planes are EXACT in bf16 (integers
+    <= 255 fit its 8-bit mantissa), so [M_hi; M_lo] @ x computes both
+    correction terms in one matmul and the halves sum to the f32-faithful
+    result (~1e-6 relative)."""
+    hi, lo = _bf16_hi_lo(_vert_reduced_matrix(stripe, rn))
+    return np.concatenate([hi, lo], axis=0)
 
 
-def _horiz_apply(y, bh, w, y_exact=False):
-    """Right-apply the 128x128 block-diagonal horizontal operator via the
-    lane-fold reshape ((S', W) -> (S'*W/128, 128), a tile-order
-    reinterpretation), f32-faithful (see _dot_f32)."""
-    s2 = y.shape[0]
-    yr = y.reshape(s2 * (w // _LANE), _LANE)
-    return _dot_f32(yr, bh, a_exact=y_exact).reshape(s2, w)
+@functools.lru_cache(maxsize=None)
+def _horiz2_matrix() -> np.ndarray:
+    """(128, 256) bf16 [hi | lo] of the forward horizontal operator.
+
+    The horizontal input y is continuous (not bf16-exact), so f32-faithful
+    needs three products (y_hi@B_hi + y_lo@B_hi + y_hi@B_lo). Stacking
+    [y_hi; y_lo] along M and [B_hi | B_lo] along N computes all four
+    quarters in ONE issue (the y_lo@B_lo quarter is discarded — its MACs
+    are noise-level cheap next to a second issue's overhead)."""
+    hi, lo = _bf16_hi_lo(_horiz_matrix(inverse=False))
+    return np.concatenate([hi, lo], axis=1)
 
 
-def _dct2_compact(x, pvr, bh_f, w):
+@functools.lru_cache(maxsize=None)
+def _horiz_inv_bf16() -> np.ndarray:
+    """(128, 128) bf16 inverse horizontal operator — SINGLE pass.
+
+    The inverse path transforms the sparse coefficient delta dy
+    (|dy| <= delta + eps), so a 2^-9 relative error injects at most
+    ~1.3% of delta into the re-derived stego coefficients (worst-case
+    basis-aligned bound) — 40x inside the delta/2 QIM margin at every
+    delta, and the same order as uint8 pixel truncation. Measured
+    on-chip: roundtrip BER stays 0 on the robust envelope and the
+    exactness sweep's boundary envelope still holds (TPUCHECK_r04)."""
+    return _bf16_hi_lo(_horiz_matrix(inverse=True))[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _vert_expand_bf16(stripe: int, rn: int) -> np.ndarray:
+    """(S, rows_pad) bf16 inverse vertical operator — SINGLE pass (same
+    error budget as _horiz_inv_bf16)."""
+    return _bf16_hi_lo(_vert_expand_matrix(stripe, rn))[0]
+
+
+def _dct2_compact(x, vert2, bh2, w):
     """(S, W) f32 PIXEL stripe -> compact slot-row coefficients (rows_pad,
-    W): reduced vertical matmul, then the horizontal pass on the compact
-    array. Every call site feeds u8-derived pixel planes, which are exact
-    in bf16 (integers <= 255) — the vertical pass needs no pixel
-    correction term (2 MXU passes, _dot_f32)."""
-    y = _dot_f32(pvr, x, b_exact=True)
-    return _horiz_apply(y, bh_f, w)
+    W), f32-faithful in TWO MXU issues (see _vert2_matrix): the stacked
+    hi/lo vertical, then the quartered hi/lo horizontal."""
+    rp = vert2.shape[0] // 2
+    x_bf = x.astype(jnp.bfloat16)            # pixels are bf16-exact
+    y2 = jnp.dot(vert2, x_bf, preferred_element_type=jnp.float32)
+    y = y2[:rp] + y2[rp:]                    # hi + lo halves
+
+    y_hi = y.astype(jnp.bfloat16)
+    y_lo = (y - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    m = rp * (w // _LANE)
+    yr = jnp.concatenate(
+        [y_hi.reshape(m, _LANE), y_lo.reshape(m, _LANE)], axis=0)
+    r = jnp.dot(yr, bh2, preferred_element_type=jnp.float32)  # (2m, 256)
+    out = r[:m, :_LANE] + r[m:, :_LANE] + r[:m, _LANE:]
+    return out.reshape(rp, w)
 
 
-def _idct2_sparse(dy, pve, bh_i, w):
+def _idct2_sparse(dy, pve_bf, bhi_bf, w):
     """Pixel-space image of a SPARSE coefficient delta living on the compact
-    slot rows: horizontal inverse on the compact array, then the (S,
-    rows_pad) vertical expansion. (rows_pad, W) -> (S, W)."""
-    dh = _horiz_apply(dy, bh_i, w)
-    return _dot_f32(pve, dh)
+    slot rows: single-pass bf16 inverse pair (error budget documented at
+    _horiz_inv_bf16). (rows_pad, W) -> (S, W)."""
+    rp = dy.shape[0]
+    m = rp * (w // _LANE)
+    dh = jnp.dot(dy.astype(jnp.bfloat16).reshape(m, _LANE), bhi_bf,
+                 preferred_element_type=jnp.float32).reshape(rp, w)
+    return jnp.dot(pve_bf, dh.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
 
 
 def _qim_valid_compact(total, offset, *, stripe, w, w_real, num_ac, cap, rn,
@@ -386,7 +435,7 @@ def _extract_bits(y, delta):
 
 def _extract_kernel(frames_ref, pvr_ref, bh_f_ref, delta_ref, bits_ref, *, w):
     delta = delta_ref[0]
-    x = _u8_to_f32(frames_ref[0])           # block is (1, stripe, w)
+    x = _u8_to_bf16(frames_ref[0])          # block is (1, stripe, w)
     y = _dct2_compact(x, pvr_ref[:], bh_f_ref[:], w)
     bits_ref[0] = _extract_bits(y, delta)
 
@@ -416,7 +465,7 @@ def _extract_bits_f32(y, delta):
 def _extract_kernel_packed(frames_ref, pvr_ref, bh_f_ref, pk_ref, delta_ref,
                            bits_ref, *, w):
     delta = delta_ref[0]
-    x = _u8_to_f32(frames_ref[0])           # block is (1, stripe, w)
+    x = _u8_to_bf16(frames_ref[0])          # block is (1, stripe, w)
     y = _dct2_compact(x, pvr_ref[:], bh_f_ref[:], w)
     bf = _extract_bits_f32(y, delta)
     bits_ref[0] = _f32_to_u8(
@@ -484,10 +533,10 @@ def _embed_frames_pallas(
         interpret=interpret,
     )(
         _pad_lanes(frames, wp), rows,
-        jnp.asarray(_vert_reduced_matrix(stripe, rn)),
-        jnp.asarray(_vert_expand_matrix(stripe, rn)),
-        jnp.asarray(_horiz_matrix(inverse=False)),
-        jnp.asarray(_horiz_matrix(inverse=True)),
+        jnp.asarray(_vert2_matrix(stripe, rn)),
+        jnp.asarray(_vert_expand_bf16(stripe, rn)),
+        jnp.asarray(_horiz2_matrix()),
+        jnp.asarray(_horiz_inv_bf16()),
         delta_arr, lim,
     )
     if wp != w:
@@ -548,8 +597,8 @@ def _extract_frames_pallas_rows(
         interpret=interpret,
     )(
         _pad_lanes(frames, wp),
-        jnp.asarray(_vert_reduced_matrix(stripe, rn)),
-        jnp.asarray(_horiz_matrix(inverse=False)),
+        jnp.asarray(_vert2_matrix(stripe, rn)),
+        jnp.asarray(_horiz2_matrix()),
         delta_arr,
     )
     if wp != w:
@@ -590,8 +639,8 @@ def _extract_frames_pallas_rows_packed(
         interpret=interpret,
     )(
         _pad_lanes(frames, wp),
-        jnp.asarray(_vert_reduced_matrix(stripe, rn)),
-        jnp.asarray(_horiz_matrix(inverse=False)),
+        jnp.asarray(_vert2_matrix(stripe, rn)),
+        jnp.asarray(_horiz2_matrix()),
         jnp.asarray(_pack_matrix(wp)),
         delta_arr,
     )
@@ -616,11 +665,13 @@ def _roundtrip_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
     )
     dy = _qim_sparse_delta(ys, bits, valid, delta)
     xd = _idct2_sparse(dy, pve_ref[:], bh_i_ref[:], w)
-    stego_u8 = _f32_to_u8(jnp.clip(x + xd, 0.0, 255.0))
-    stego_ref[0] = stego_u8
+    stego_i = jnp.clip(x + xd, 0.0, 255.0).astype(jnp.int32)  # truncating
+    stego_ref[0] = stego_i.astype(jnp.uint8)
 
-    # re-extract from the ACTUAL quantized pixels, still in VMEM
-    y2 = _dct2_compact(_u8_to_f32(stego_u8), pvr_ref[:], bh_f_ref[:], w)
+    # re-extract from the ACTUAL quantized pixels, still in VMEM (the i32
+    # plane feeds bf16 directly — same exact values a u8 round trip gives)
+    y2 = _dct2_compact(stego_i.astype(jnp.bfloat16), pvr_ref[:],
+                       bh_f_ref[:], w)
     bits_ref[0] = _extract_bits(y2, delta)
 
 
@@ -641,10 +692,11 @@ def _roundtrip_kernel_packed(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
     )
     dy = _qim_sparse_delta(ys, bits, valid, delta)
     xd = _idct2_sparse(dy, pve_ref[:], bh_i_ref[:], w)
-    stego_u8 = _f32_to_u8(jnp.clip(x + xd, 0.0, 255.0))
-    stego_ref[0] = stego_u8
+    stego_i = jnp.clip(x + xd, 0.0, 255.0).astype(jnp.int32)  # truncating
+    stego_ref[0] = stego_i.astype(jnp.uint8)
 
-    y2 = _dct2_compact(_u8_to_f32(stego_u8), pvr_ref[:], bh_f_ref[:], w)
+    y2 = _dct2_compact(stego_i.astype(jnp.bfloat16), pvr_ref[:],
+                       bh_f_ref[:], w)
     bf = _extract_bits_f32(y2, delta)
     bits_ref[0] = _f32_to_u8(
         jnp.dot(bf, pk_ref[:], preferred_element_type=jnp.float32)
@@ -692,10 +744,10 @@ def _embed_and_extract_frames_pallas_packed(
         interpret=interpret,
     )(
         _pad_lanes(frames, wp), rows,
-        jnp.asarray(_vert_reduced_matrix(stripe, rn)),
-        jnp.asarray(_vert_expand_matrix(stripe, rn)),
-        jnp.asarray(_horiz_matrix(inverse=False)),
-        jnp.asarray(_horiz_matrix(inverse=True)),
+        jnp.asarray(_vert2_matrix(stripe, rn)),
+        jnp.asarray(_vert_expand_bf16(stripe, rn)),
+        jnp.asarray(_horiz2_matrix()),
+        jnp.asarray(_horiz_inv_bf16()),
         jnp.asarray(_pack_matrix(wp)),
         delta_arr, lim,
     )
@@ -734,10 +786,11 @@ def _embed_check_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
     )
     dy = _qim_sparse_delta(ys, bits, valid, delta)
     xd = _idct2_sparse(dy, pve_ref[:], bh_i_ref[:], w)
-    stego_u8 = _f32_to_u8(jnp.clip(x + xd, 0.0, 255.0))
-    stego_ref[0] = stego_u8
+    stego_i = jnp.clip(x + xd, 0.0, 255.0).astype(jnp.int32)  # truncating
+    stego_ref[0] = stego_i.astype(jnp.uint8)
 
-    y2 = _dct2_compact(_u8_to_f32(stego_u8), pvr_ref[:], bh_f_ref[:], w)
+    y2 = _dct2_compact(stego_i.astype(jnp.bfloat16), pvr_ref[:],
+                       bh_f_ref[:], w)
     bf2 = _extract_bits_f32(y2, delta)
     errs = jnp.sum(jnp.where(valid & (bf2 != bits), 1, 0), dtype=jnp.int32)
 
@@ -790,10 +843,10 @@ def _embed_and_check_frames_pallas(
         interpret=interpret,
     )(
         _pad_lanes(frames, wp), rows,
-        jnp.asarray(_vert_reduced_matrix(stripe, rn)),
-        jnp.asarray(_vert_expand_matrix(stripe, rn)),
-        jnp.asarray(_horiz_matrix(inverse=False)),
-        jnp.asarray(_horiz_matrix(inverse=True)),
+        jnp.asarray(_vert2_matrix(stripe, rn)),
+        jnp.asarray(_vert_expand_bf16(stripe, rn)),
+        jnp.asarray(_horiz2_matrix()),
+        jnp.asarray(_horiz_inv_bf16()),
         delta_arr, lim,
     )
     if wp != w:
@@ -821,8 +874,9 @@ def embed_and_extract_frames_pallas(frames, payload_bits, total_bits, delta,
     pipeline measured faster; with the round-2 compact/sparse-delta
     structure the fused kernel wins (7.9 vs 11.3 ms/128-frame batch at
     1080p) — re-check per round in benchmarks/ab_kernels.py. Round 3: the
-    bit-PACKED extract output wins the A/B (8.89 vs 9.00 ms/128 at 1080p,
-    chained; docs/TUNING.md) and is now the default."""
+    bit-PACKED extract output wins the A/B and is the default. Round 4:
+    8.87 ms/128 with the f32-faithful arithmetic (docs/TUNING.md round-4
+    table decomposes it against the 4.85 ms DMA floor)."""
     return embed_and_extract_frames_pallas_packed(
         frames, payload_bits, total_bits, delta, num_ac
     )
@@ -884,10 +938,10 @@ def _embed_and_extract_frames_pallas(
         interpret=interpret,
     )(
         _pad_lanes(frames, wp), rows,
-        jnp.asarray(_vert_reduced_matrix(stripe, rn)),
-        jnp.asarray(_vert_expand_matrix(stripe, rn)),
-        jnp.asarray(_horiz_matrix(inverse=False)),
-        jnp.asarray(_horiz_matrix(inverse=True)),
+        jnp.asarray(_vert2_matrix(stripe, rn)),
+        jnp.asarray(_vert_expand_bf16(stripe, rn)),
+        jnp.asarray(_horiz2_matrix()),
+        jnp.asarray(_horiz_inv_bf16()),
         delta_arr, lim,
     )
     if wp != w:

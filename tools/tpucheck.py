@@ -68,12 +68,12 @@ def main() -> None:
     if args.quick:
         configs = [(4, 240, 384, 10, [20.0])]
     else:
-        configs = []
+        # smallest-first: on a slow tunnel day each compile is minutes, so
+        # cheap configs should reach the checkpoint before a timeout
+        configs = [(4, 480, 720, 10, [20.0])]  # non-128-multiple width
         for (b, h, w) in [(4, 1080, 1920), (2, 2160, 3840)]:
             for num_ac in (1, 10, 63):
                 configs.append((b, h, w, num_ac, [1.0, 20.0, 100.0]))
-        # non-128-multiple width on the real chip (the r4 lane-pad path)
-        configs.append((4, 480, 720, 10, [20.0]))
 
     # resumable across tunnel stalls: completed configs persist in the
     # artifact and are skipped on re-run (the jit cache makes their
