@@ -43,7 +43,7 @@ import numpy as np  # noqa: E402
 H, W, N_AC, DELTA = 1080, 1920, 10, 20.0
 
 
-def build_variant(name: str, stripe: int, dimsem, cost: bool):
+def build_variant(name: str, stripe: int, dimsem, cost: bool, bufs: int = 0):
     """Returns jit(frames, rows, delta_arr, lim) -> (stego, packed)."""
     import jax
     import jax.numpy as jnp
@@ -108,12 +108,13 @@ def build_variant(name: str, stripe: int, dimsem, cost: bool):
                                  rp=rp)
 
     def make(b):
+        pm = pl.Buffered(buffer_count=bufs) if bufs else None
         tile = pl.BlockSpec((1, stripe, W), lambda i, j: (i, j, 0),
-                            memory_space=pltpu.VMEM)
+                            memory_space=pltpu.VMEM, pipeline_mode=pm)
         rows_spec = pl.BlockSpec((1, rp, W), lambda i, j: (i, j, 0),
-                                 memory_space=pltpu.VMEM)
+                                 memory_space=pltpu.VMEM, pipeline_mode=pm)
         packed_spec = pl.BlockSpec((1, rp, W // BLOCK), lambda i, j: (i, j, 0),
-                                   memory_space=pltpu.VMEM)
+                                   memory_space=pltpu.VMEM, pipeline_mode=pm)
         mat = pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         if name == "dmaspec":
@@ -228,6 +229,8 @@ def main() -> None:
         ("fused_arb", 120, ARB, False),
         ("fused_s216", 216, PAR, False),
         ("fused_s360", 360, PAR, False),
+        ("fused_buf3", 120, PAR, False),
+        ("fused_buf4", 120, PAR, False),
     ]
     if args.variants:
         want = set(args.variants.split(","))
@@ -236,9 +239,10 @@ def main() -> None:
     for (label, stripe, dimsem, cost) in grid:
         if H % stripe:
             continue
-        base = label.split("_")[0] if label.startswith("fused") else label
-        base = "fused" if label.startswith("fused") else label
-        run, bytes_per = build_variant(base, stripe, dimsem, cost)
+        base = ("embed" if label == "embed" else
+                "fused" if label.startswith("fused") else label)
+        bufs = int(label[-1]) if label.startswith("fused_buf") else 0
+        run, bytes_per = build_variant(base, stripe, dimsem, cost, bufs=bufs)
         dt = measure(run, args.batch, args.iters, stripe)
         ms128 = dt * 128 / args.batch * 1000
         gbps = args.batch * bytes_per / dt / 1e9
