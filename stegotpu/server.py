@@ -8,7 +8,7 @@ pipelines to local tooling as a tiny JSON-over-HTTP API (stdlib only):
                     "delta": 20, "coeffs": 10, "codec": "FFV1",
                     "verified": false, "public_key": "bob_public_key.pem"}
     POST /extract  {"stego": ..., "output": ...,
-                    "delta": 20, "coeffs": 10,
+                    "delta": 20, "coeffs": 10, "auto_params": false,
                     "private_key": "bob_private_key.pem"}
     POST /inspect  {"stego": ..., "delta": 20, "coeffs": 10}
     POST /capacity {"video": ..., "delta": 20, "coeffs": 10}
@@ -81,21 +81,49 @@ def _do_embed(req: dict) -> dict:
 
 
 def _do_extract(req: dict) -> dict:
+    import dataclasses
+
     from stegotpu import crypto
     from stegotpu.pipeline import extract_image_from_video
 
     priv = crypto.load_private_pem(
         req.get("private_key", "bob_private_key.pem"))
+    cfg = _config_from(req)
     res = extract_image_from_video(
-        req["stego"], priv, _config_from(req), req.get("output"),
+        req["stego"], priv, cfg, req.get("output"),
         batch_frames=int(req.get("batch", 8)),
     )
+    recovered = None
+    if not res.success and bool(req.get("auto_params", False)):
+        # RECOVERY MODE (mirrors `extract --auto-params`): re-derive
+        # delta/num_ac from the stego's QIM lattice and retry once
+        from stegotpu.steganalysis import (
+            analyze_frames,
+            estimate_num_ac,
+            read_gray_frames,
+        )
+
+        gray = read_gray_frames(req["stego"], 4)
+        rep = analyze_frames(gray, num_ac=cfg.num_ac_coeffs)
+        n_est = estimate_num_ac(gray, rep.best_delta) if rep.detected else 0
+        if (rep.detected and n_est > 0
+                and (rep.best_delta, n_est) != (cfg.delta,
+                                                cfg.num_ac_coeffs)):
+            cfg = dataclasses.replace(cfg, delta=rep.best_delta,
+                                      num_ac_coeffs=n_est)
+            res = extract_image_from_video(
+                req["stego"], priv, cfg, req.get("output"),
+                batch_frames=int(req.get("batch", 8)),
+            )
+            recovered = {"delta": cfg.delta, "coeffs": cfg.num_ac_coeffs}
     out = {
         "success": res.success,
         "hash_ok": res.hash_ok,
         "output_path": res.output_path,
         "frames_read": res.frames_read,
     }
+    if recovered is not None:
+        out["recovered_params"] = recovered
     if res.error:
         out["error"] = res.error
     if res.success and not res.is_raw_data:

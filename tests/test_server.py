@@ -147,3 +147,30 @@ def test_serve_host_header_bracket_aware(server):
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(req, timeout=30)
         assert e.value.code == 403, host
+
+
+def test_serve_extract_auto_params_recovery(server, tmp_path):
+    """/extract {"auto_params": true} recovers non-default delta/coeffs via
+    steganalysis and reports them (mirror of `extract --auto-params`)."""
+    fixtures.make_secret_image(tmp_path / "s.png", 48, 48, kind="noise",
+                               seed=7)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 320, 240, frames=8,
+                              kind="moving", seed=8)
+    crypto.setup_receiver_keys(tmp_path / "k.pem", tmp_path / "p.pem")
+    code, out = _post(server, "/embed", {
+        "cover": str(tmp_path / "c.mp4"), "secret": str(tmp_path / "s.png"),
+        "output": str(tmp_path / "st"), "public_key": str(tmp_path / "p.pem"),
+        "delta": 32, "coeffs": 3,
+    })
+    assert code == 200 and out["success"], out
+
+    base = {"stego": str(tmp_path / "st.avi"),
+            "output": str(tmp_path / "x.png"),
+            "private_key": str(tmp_path / "k.pem")}
+    code, out = _post(server, "/extract", base)  # defaults 20/10: fails
+    assert not out["success"]
+    code, out = _post(server, "/extract", {**base, "auto_params": True})
+    assert code == 200 and out["success"], out
+    assert out["recovered_params"] == {"delta": 32, "coeffs": 3}
+    secret = np.array(load_image_gray(tmp_path / "s.png"))
+    np.testing.assert_array_equal(load_image_gray(tmp_path / "x.png"), secret)

@@ -38,7 +38,9 @@ from stegotpu.ops import qim
 
 def one_config(rng: np.random.Generator) -> list[str]:
     h = 8 * int(rng.integers(2, 13))
-    w = 128 * int(rng.integers(1, 4))      # pallas needs W % 128 == 0
+    # any 8-multiple width since r4's lane padding (non-128 multiples
+    # exercise the pad/mask path; the old 128-only sampling is a subset)
+    w = 8 * int(rng.integers(4, 61))
     num_ac = int(rng.integers(1, 33))
     delta = int(rng.integers(9, 49))
     frac = float(rng.uniform(0.05, 1.0))
