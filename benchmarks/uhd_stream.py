@@ -19,7 +19,8 @@ import numpy as np
 
 def main(b=128, h=2160, w=3840, n_ac=10, k_chain=10):
     # batch sweep (honest chain, v5e): 16->905, 64->3134, 128->4502 fps;
-    # 256 stalls (frame+stego+bits HBM residency through the relay)
+    # 256 stalls (frame+stego+bits HBM residency through the relay).
+    # r4 wire-correct kernel (f32-faithful DCT): 128 -> 3620 fps, BER=0
     import jax
     import jax.numpy as jnp
 

@@ -2,12 +2,13 @@
 
 Variants (all semantically identical, tested against each other):
 
-- 'pallas' — ops/pallas_kernel.py: fused single-HBM-pass stripe kernel.
-             3,596 fps 1080p round trip on v5e (benchmarks). Requires a
-             compiled-Pallas backend (TPU); non-128-multiple widths run
-             via in-wrapper lane padding (pallas_kernel._lane_pad).
+- 'pallas' — ops/pallas_kernel.py: fused single-HBM-pass stripe kernel,
+             f32-faithful stacked-bf16 DCT (15.1k fps 1080p roundtrip at
+             batch 512, BENCH_r04). Requires a compiled-Pallas backend
+             (TPU); non-128-multiple widths run via in-wrapper lane
+             padding (pallas_kernel._lane_pad).
 - 'xla'    — ops/qim.py: blockify + one (nb, 64) @ (64, 64) Kronecker
-             matmul. 3,015 fps; works everywhere.
+             matmul at Precision.HIGHEST; works everywhere.
 - 'auto'   — pallas on TPU when the shape allows, xla otherwise (Pallas on
              CPU runs interpreted, which is only for tests).
 """
