@@ -61,6 +61,7 @@ class StegoApp:
         self.kernel = tk.StringVar(value="auto")
         self.codec = tk.StringVar(value="FFV1")
         self.verified = tk.BooleanVar(value=False)
+        self.auto_recover = tk.BooleanVar(value=False)
         # live pipeline log: every stegotpu log record (incl. per-batch
         # DEBUG progress) streams into the GUI through the queue. A stale
         # handler from a previous window would leak records into a dead
@@ -122,6 +123,8 @@ class StegoApp:
                      values=("FFV1", "HFYU")).pack(side="left", padx=4)
         ttk.Checkbutton(params, text="verified (BER=0)",
                         variable=self.verified).pack(side="left", padx=4)
+        ttk.Checkbutton(params, text="auto-recover params",
+                        variable=self.auto_recover).pack(side="left", padx=4)
         self.run_btn = ttk.Button(params, text="Run", command=self._run)
         self.run_btn.pack(side="right")
 
@@ -295,9 +298,45 @@ class StegoApp:
         self._log("extracting...", "RUN")
         priv = crypto.load_private_pem(self.paths["priv_key"].get())
         out = self.paths["image_out"].get()
+        cfg = self._config()
         res = extract_image_from_video(
-            self.paths["stego_in"].get(), priv, self._config(), out,
+            self.paths["stego_in"].get(), priv, cfg, out,
         )
+        if not res.success and self.auto_recover.get():
+            # RECOVERY MODE (mirrors `extract --auto-params` / the daemon's
+            # auto_params): re-derive delta/coeffs from the QIM lattice
+            import dataclasses
+
+            from stegotpu.steganalysis import (
+                analyze_frames,
+                estimate_num_ac,
+                read_gray_frames,
+            )
+
+            self._log(
+                f"extract failed with delta={cfg.delta}, "
+                f"coeffs={cfg.num_ac_coeffs} — running steganalysis "
+                "parameter recovery...", "RUN")
+            gray = read_gray_frames(self.paths["stego_in"].get(), 4)
+            rep = analyze_frames(gray, num_ac=cfg.num_ac_coeffs)
+            n_est = (estimate_num_ac(gray, rep.best_delta)
+                     if rep.detected else 0)
+            if (rep.detected and n_est > 0
+                    and (rep.best_delta, n_est) != (cfg.delta,
+                                                    cfg.num_ac_coeffs)):
+                self._log(f"RECOVERY: estimated delta={rep.best_delta}, "
+                          f"coeffs={n_est} — retrying", "RUN")
+                cfg = dataclasses.replace(cfg, delta=rep.best_delta,
+                                          num_ac_coeffs=n_est)
+                res = extract_image_from_video(
+                    self.paths["stego_in"].get(), priv, cfg, out,
+                )
+                if res.success:
+                    self._log(f"recovered parameters: delta={cfg.delta}, "
+                              f"coeffs={cfg.num_ac_coeffs}", "OK")
+            else:
+                self._log("RECOVERY FAILED: no QIM lattice detected "
+                          f"({rep.verdict})", "ERR")
         if not res.success:
             self._log(f"EXTRACT FAILED: {res.error}", "ERR")
             return

@@ -71,12 +71,13 @@ class _Var:
 class _HeadlessApp:
     """Duck-typed stand-in: real worker methods, no Tk objects."""
 
-    def __init__(self, paths, delta=20, coeffs=10):
+    def __init__(self, paths, delta=20, coeffs=10, auto_recover=False):
         from stegotpu.gui import StegoApp
 
         self._q = queue.Queue()
         self.paths = {k: _Var(v) for k, v in paths.items()}
         self._delta, self._coeffs = delta, coeffs
+        self.auto_recover = _Var(auto_recover)
         self._do_extract = StegoApp._do_extract.__get__(self)
         self._do_embed = StegoApp._do_embed.__get__(self)
 
@@ -175,3 +176,37 @@ def test_queue_log_handler_streams_pipeline_records():
     assert got[1] == ("log", "video ended early", "RUN")
     assert got[2] == ("log", "boom", "ERR")
     assert q.empty()
+
+
+def test_gui_worker_extract_auto_recover(tmp_path):
+    """The 'auto-recover params' checkbox path: extraction with wrong
+    delta/coeffs recovers them via steganalysis and succeeds (mirror of
+    `extract --auto-params`)."""
+    from stegotpu import crypto, fixtures
+    from stegotpu.config import StegoConfig
+    from stegotpu.pipeline import embed_image_in_video
+
+    fixtures.make_secret_image(tmp_path / "s.png", 48, 48, kind="noise",
+                               seed=31)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 320, 240, frames=6,
+                              kind="moving", seed=32)
+    priv, pub_c = crypto.setup_receiver_keys(tmp_path / "priv.pem",
+                                             tmp_path / "pub.pem")
+    res = embed_image_in_video(tmp_path / "c.mp4", tmp_path / "s.png",
+                               tmp_path / "st", pub_c,
+                               StegoConfig(delta=32, num_ac_coeffs=3))
+    assert res.success
+
+    app = _HeadlessApp({
+        "stego_in": str(tmp_path / "st.avi"),
+        "image_out": str(tmp_path / "x.png"),
+        "priv_key": str(tmp_path / "priv.pem"),
+        "secret": "",
+    }, auto_recover=True)  # defaults 20/10 are wrong; recovery fixes them
+    app._do_extract()
+    msgs = app.drain()
+    assert any("RECOVERY: estimated delta=32" in m[1]
+               for m in msgs if m[0] == "log"), msgs
+    assert any("recovered parameters: delta=32, coeffs=3" in m[1]
+               for m in msgs if m[0] == "log")
+    assert any("SHA3-256 integrity: OK" in m[1] for m in msgs if m[0] == "log")
