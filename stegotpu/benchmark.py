@@ -77,6 +77,11 @@ def main() -> None:
     # frame+stego HBM residency per in-flight batch)
     b, h, w, n_ac, delta = 512, 1080, 1920, 10, 20.0
     k_chain = 10
+    import os
+
+    # STEGOTPU_BENCH_PRECISION=fast measures the TPU-local single-pass-bf16
+    # mode (config.qim_precision); the committed headline is always 'wire'
+    precision = os.environ.get("STEGOTPU_BENCH_PRECISION", "wire")
     cap = (h // 8) * (w // 8) * n_ac
     rng = np.random.default_rng(0)
     frames = jax.device_put(rng.integers(0, 256, (b, h, w), dtype=np.uint8))
@@ -92,7 +97,8 @@ def main() -> None:
     # bound indicates a kernel bug.
     @jax.jit
     def ber_errors(f, p):
-        _, _, e = embed_and_extract_frames(f, p, total, dlt, n_ac)
+        _, _, e = embed_and_extract_frames(f, p, total, dlt, n_ac,
+                                           precision)
         return jnp.sum((e != p).astype(jnp.int32))
 
     errors = int(ber_errors(frames, payload))
@@ -103,7 +109,8 @@ def main() -> None:
     def chained(f, p):
         def body(_, carry):
             fr, pl_ = carry
-            s, _, e = embed_and_extract_frames(fr, pl_, total, dlt, n_ac)
+            s, _, e = embed_and_extract_frames(fr, pl_, total, dlt, n_ac,
+                                               precision)
             return s, e  # extracted bits are the NEXT payload: no dead code
         out, bits = jax.lax.fori_loop(0, k_chain, body, (f, p))
         return jnp.sum(out, dtype=jnp.int32) + jnp.sum(bits, dtype=jnp.int32)
@@ -118,7 +125,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "1080p_embed_extract_fps_per_chip",
+                "metric": "1080p_embed_extract_fps_per_chip"
+                          if precision == "wire" else
+                          "1080p_embed_extract_fps_per_chip_fastmode",
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / NORTH_STAR_FPS, 3),

@@ -26,7 +26,8 @@ def _config_from_args(args) -> StegoConfig:
                        kernel=getattr(args, "kernel", "auto"),
                        verified_embed=getattr(args, "verified", False),
                        allow_residual=getattr(args, "allow_residual", False),
-                       codec=getattr(args, "codec", "FFV1"))
+                       codec=getattr(args, "codec", "FFV1"),
+                       qim_precision=getattr(args, "precision", "wire"))
 
 
 def _add_qim_flags(p: argparse.ArgumentParser) -> None:
@@ -36,6 +37,11 @@ def _add_qim_flags(p: argparse.ArgumentParser) -> None:
                    help="AC coefficients per 8x8 block, 1..63 (default 10)")
     p.add_argument("--kernel", choices=["auto", "xla", "pallas"], default="auto",
                    help="device kernel variant (default auto)")
+    p.add_argument("--precision", choices=["wire", "fast"], default="wire",
+                   help="'wire' (default): f32-faithful DCT, interoperates "
+                        "with the reference extractor; 'fast': single-pass "
+                        "bf16 on TPU, ~12%% faster — BOTH endpoints must "
+                        "run stegotpu-on-TPU, delta >= 12")
 
 
 def _add_mesh_flag(p: argparse.ArgumentParser) -> None:

@@ -56,6 +56,14 @@ class StegoConfig:
         slots remain (extreme saturated covers whose pre-clip dynamic range
         exceeds 255); set True to keep the reference's silent-loss behavior
         and emit the stego anyway (residual is still reported).
+    qim_precision: 'wire' (default) computes the Pallas DCT f32-faithfully
+        so stego interoperates with the reference's scipy-f32 extractor at
+        the full delta/2 margin (docs/COMPATIBILITY.md, TPUCHECK_r04);
+        'fast' uses Mosaic's native single-pass-bf16 matmuls (~12% faster
+        roundtrip on v5e) — stego coefficients drift ~2e-3 relative off
+        the f32 lattice, so BOTH endpoints must run stegotpu-on-TPU and
+        delta must be >= 12 (the drift eats ~2 of the delta/2 margin).
+        CPU backends compute f32 exactly either way.
     """
 
     delta: int = 20
@@ -66,6 +74,7 @@ class StegoConfig:
     verified_embed: bool = False
     repair_rounds: int = 3
     allow_residual: bool = False
+    qim_precision: str = "wire"
 
     def __post_init__(self) -> None:
         if self.delta < 0:
@@ -76,6 +85,14 @@ class StegoConfig:
             )
         if self.kernel not in ("auto", "xla", "pallas"):
             raise ValueError(f"kernel must be auto/xla/pallas, got {self.kernel!r}")
+        if self.qim_precision not in ("wire", "fast"):
+            raise ValueError(
+                f"qim_precision must be wire/fast, got {self.qim_precision!r}")
+        if self.qim_precision == "fast" and 0 < self.delta < 12:
+            raise ValueError(
+                "qim_precision='fast' needs delta >= 12: the bf16 lattice "
+                "drift (~2.0 at 1080p coefficient magnitudes) consumes too "
+                f"much of delta/2 margin at delta={self.delta}")
 
     def frame_capacity_bits(self, height: int, width: int) -> int:
         """Embedding capacity of one (pre-cropped) frame in bits.

@@ -41,13 +41,25 @@ def _use_pallas(kernel: str, h: int, w: int) -> bool:
     return kernel == "auto" and _pallas_compiled_backend()
 
 
-def embed_fn(kernel: str, h: int, w: int):
+def embed_fn(kernel: str, h: int, w: int, precision: str = "wire"):
     if _use_pallas(kernel, h, w):
+        if precision == "fast":
+            import functools
+
+            return functools.partial(pallas_kernel.embed_frames_pallas,
+                                     precision="fast")
         return pallas_kernel.embed_frames_pallas
+    # the XLA kernel stays at Precision.HIGHEST in both modes: it is the
+    # oracle baseline and the non-TPU fallback (f32 exact on CPU anyway)
     return qim.embed_frames
 
 
-def extract_fn(kernel: str, h: int, w: int):
+def extract_fn(kernel: str, h: int, w: int, precision: str = "wire"):
     if _use_pallas(kernel, h, w):
+        if precision == "fast":
+            import functools
+
+            return functools.partial(pallas_kernel.extract_frames_pallas,
+                                     precision="fast")
         return pallas_kernel.extract_frames_pallas
     return qim.extract_frames

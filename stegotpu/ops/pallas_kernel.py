@@ -281,7 +281,7 @@ def _bf16_hi_lo(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=None)
-def _vert2_matrix(stripe: int, rn: int) -> np.ndarray:
+def _vert2_matrix(stripe: int, rn: int, fast: bool = False) -> np.ndarray:
     """(2*rows_pad, S) bf16 [hi; lo] stack of the forward vertical operator.
 
     Why: Mosaic's DEFAULT f32 matmul is a single bf16 MXU pass (~2e-3
@@ -297,11 +297,13 @@ def _vert2_matrix(stripe: int, rn: int) -> np.ndarray:
     correction terms in one matmul and the halves sum to the f32-faithful
     result (~1e-6 relative)."""
     hi, lo = _bf16_hi_lo(_vert_reduced_matrix(stripe, rn))
+    if fast:  # TPU-local fast mode: hi term only (config.qim_precision)
+        return hi
     return np.concatenate([hi, lo], axis=0)
 
 
 @functools.lru_cache(maxsize=None)
-def _horiz2_matrix() -> np.ndarray:
+def _horiz2_matrix(fast: bool = False) -> np.ndarray:
     """(128, 256) bf16 [hi | lo] of the forward horizontal operator.
 
     The horizontal input y is continuous (not bf16-exact), so f32-faithful
@@ -310,6 +312,8 @@ def _horiz2_matrix() -> np.ndarray:
     quarters in ONE issue (the y_lo@B_lo quarter is discarded — its MACs
     are noise-level cheap next to a second issue's overhead)."""
     hi, lo = _bf16_hi_lo(_horiz_matrix(inverse=False))
+    if fast:
+        return hi
     return np.concatenate([hi, lo], axis=1)
 
 
@@ -336,10 +340,20 @@ def _vert_expand_bf16(stripe: int, rn: int) -> np.ndarray:
 
 def _dct2_compact(x, vert2, bh2, w):
     """(S, W) f32 PIXEL stripe -> compact slot-row coefficients (rows_pad,
-    W), f32-faithful in TWO MXU issues (see _vert2_matrix): the stacked
-    hi/lo vertical, then the quartered hi/lo horizontal."""
-    rp = vert2.shape[0] // 2
+    W). Mode is carried by the MATRICES (no kernel plumbing): the wire
+    forms ((2rp, S) vertical, (128, 256) horizontal) run the f32-faithful
+    stacked-hi/lo math in two MXU issues (see _vert2_matrix); the fast
+    forms (hi-only) run single-pass bf16 — config.qim_precision='fast',
+    the TPU-local mode."""
+    fast = bh2.shape[-1] == _LANE
     x_bf = x.astype(jnp.bfloat16)            # pixels are bf16-exact
+    if fast:
+        rp = vert2.shape[0]
+        y = jnp.dot(vert2, x_bf, preferred_element_type=jnp.float32)
+        m = rp * (w // _LANE)
+        return jnp.dot(y.astype(jnp.bfloat16).reshape(m, _LANE), bh2,
+                       preferred_element_type=jnp.float32).reshape(rp, w)
+    rp = vert2.shape[0] // 2
     y2 = jnp.dot(vert2, x_bf, preferred_element_type=jnp.float32)
     y = y2[:rp] + y2[rp:]                    # hi + lo halves
 
@@ -479,15 +493,18 @@ def _interpret_default() -> bool:
 
 
 def embed_frames_pallas(frames, payload_bits, total_bits, delta, num_ac,
-                        bit_offset=0):
-    """Fused embed; API-compatible with ops.qim.embed_frames."""
+                        bit_offset=0, precision="wire"):
+    """Fused embed; API-compatible with ops.qim.embed_frames.
+    precision: config.StegoConfig.qim_precision ('wire' default)."""
     return _embed_frames_pallas(
         frames, payload_bits, total_bits, delta, num_ac,
         jnp.asarray(bit_offset, dtype=jnp.int32), _interpret_default(),
+        precision == "fast",
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_ac", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_ac", "interpret", "fast"))
 def _embed_frames_pallas(
     frames: jnp.ndarray,
     payload_bits: jnp.ndarray,
@@ -496,6 +513,7 @@ def _embed_frames_pallas(
     num_ac: int,
     bit_offset: jnp.ndarray,
     interpret: bool,
+    fast: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     b, h, w = frames.shape
     wp = _lane_pad(w)
@@ -533,9 +551,9 @@ def _embed_frames_pallas(
         interpret=interpret,
     )(
         _pad_lanes(frames, wp), rows,
-        jnp.asarray(_vert2_matrix(stripe, rn)),
+        jnp.asarray(_vert2_matrix(stripe, rn, fast)),
         jnp.asarray(_vert_expand_bf16(stripe, rn)),
-        jnp.asarray(_horiz2_matrix()),
+        jnp.asarray(_horiz2_matrix(fast)),
         jnp.asarray(_horiz_inv_bf16()),
         delta_arr, lim,
     )
@@ -548,14 +566,17 @@ def _embed_frames_pallas(
     return stego, bits_per_frame
 
 
-def extract_frames_pallas(frames, delta, num_ac):
+def extract_frames_pallas(frames, delta, num_ac, precision="wire"):
     """Fused extract; API-compatible with ops.qim.extract_frames."""
-    return _extract_frames_pallas(frames, delta, num_ac, _interpret_default())
+    return _extract_frames_pallas(frames, delta, num_ac, _interpret_default(),
+                                  precision == "fast")
 
 
-@functools.partial(jax.jit, static_argnames=("num_ac", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_ac", "interpret", "fast"))
 def _extract_frames_pallas(
-    frames: jnp.ndarray, delta: jnp.ndarray, num_ac: int, interpret: bool
+    frames: jnp.ndarray, delta: jnp.ndarray, num_ac: int, interpret: bool,
+    fast: bool = False,
 ) -> jnp.ndarray:
     # packed variant: the kernel's bit output (and its HBM write) is 8x
     # smaller; packed_rows_to_bits reads 8x less for the wire-order unpack.
@@ -563,13 +584,15 @@ def _extract_frames_pallas(
     b, h, w = frames.shape
     stripe = pick_stripe(h)
     packed = _extract_frames_pallas_rows_packed(frames, delta, num_ac,
-                                                interpret)
+                                                interpret, fast)
     return packed_rows_to_bits(packed, h, w, num_ac, stripe)
 
 
-@functools.partial(jax.jit, static_argnames=("num_ac", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_ac", "interpret", "fast"))
 def _extract_frames_pallas_rows(
-    frames: jnp.ndarray, delta: jnp.ndarray, num_ac: int, interpret: bool
+    frames: jnp.ndarray, delta: jnp.ndarray, num_ac: int, interpret: bool,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Extract kernel only: bits in the compact slot-rows layout."""
     b, h, w = frames.shape
@@ -597,8 +620,8 @@ def _extract_frames_pallas_rows(
         interpret=interpret,
     )(
         _pad_lanes(frames, wp),
-        jnp.asarray(_vert2_matrix(stripe, rn)),
-        jnp.asarray(_horiz2_matrix()),
+        jnp.asarray(_vert2_matrix(stripe, rn, fast)),
+        jnp.asarray(_horiz2_matrix(fast)),
         delta_arr,
     )
     if wp != w:
@@ -606,9 +629,11 @@ def _extract_frames_pallas_rows(
     return bits_rows
 
 
-@functools.partial(jax.jit, static_argnames=("num_ac", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_ac", "interpret", "fast"))
 def _extract_frames_pallas_rows_packed(
-    frames: jnp.ndarray, delta: jnp.ndarray, num_ac: int, interpret: bool
+    frames: jnp.ndarray, delta: jnp.ndarray, num_ac: int, interpret: bool,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Extract kernel only: bits PACKED 8/byte in the compact layout
     (B, (H/stripe)*rp, W/8)."""
@@ -639,8 +664,8 @@ def _extract_frames_pallas_rows_packed(
         interpret=interpret,
     )(
         _pad_lanes(frames, wp),
-        jnp.asarray(_vert2_matrix(stripe, rn)),
-        jnp.asarray(_horiz2_matrix()),
+        jnp.asarray(_vert2_matrix(stripe, rn, fast)),
+        jnp.asarray(_horiz2_matrix(fast)),
         jnp.asarray(_pack_matrix(wp)),
         delta_arr,
     )
@@ -703,9 +728,10 @@ def _roundtrip_kernel_packed(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_ac", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_ac", "interpret", "fast"))
 def _embed_and_extract_frames_pallas_packed(
-    frames, payload_bits, total_bits, delta, num_ac, interpret
+    frames, payload_bits, total_bits, delta, num_ac, interpret, fast=False
 ):
     b, h, w = frames.shape
     wp = _lane_pad(w)
@@ -744,9 +770,9 @@ def _embed_and_extract_frames_pallas_packed(
         interpret=interpret,
     )(
         _pad_lanes(frames, wp), rows,
-        jnp.asarray(_vert2_matrix(stripe, rn)),
+        jnp.asarray(_vert2_matrix(stripe, rn, fast)),
         jnp.asarray(_vert_expand_bf16(stripe, rn)),
-        jnp.asarray(_horiz2_matrix()),
+        jnp.asarray(_horiz2_matrix(fast)),
         jnp.asarray(_horiz_inv_bf16()),
         jnp.asarray(_pack_matrix(wp)),
         delta_arr, lim,
@@ -803,9 +829,10 @@ def _embed_check_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
     err_ref[f, 0] += errs
 
 
-@functools.partial(jax.jit, static_argnames=("num_ac", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_ac", "interpret", "fast"))
 def _embed_and_check_frames_pallas(
-    frames, payload_bits, total_bits, delta, num_ac, interpret
+    frames, payload_bits, total_bits, delta, num_ac, interpret, fast=False
 ):
     """(stego, bits_per_frame, errors_per_frame) — the verified fast path."""
     b, h, w = frames.shape
@@ -843,9 +870,9 @@ def _embed_and_check_frames_pallas(
         interpret=interpret,
     )(
         _pad_lanes(frames, wp), rows,
-        jnp.asarray(_vert2_matrix(stripe, rn)),
+        jnp.asarray(_vert2_matrix(stripe, rn, fast)),
         jnp.asarray(_vert_expand_bf16(stripe, rn)),
-        jnp.asarray(_horiz2_matrix()),
+        jnp.asarray(_horiz2_matrix(fast)),
         jnp.asarray(_horiz_inv_bf16()),
         delta_arr, lim,
     )
@@ -859,16 +886,17 @@ def _embed_and_check_frames_pallas(
 
 
 def embed_and_extract_frames_pallas_packed(frames, payload_bits, total_bits,
-                                           delta, num_ac):
+                                           delta, num_ac, precision="wire"):
     """Single-pass fused round trip with bit-packed extract output."""
     return _embed_and_extract_frames_pallas_packed(
         frames, payload_bits, jnp.asarray(total_bits, jnp.int32),
         jnp.asarray(delta, jnp.float32), num_ac, _interpret_default(),
+        precision == "fast",
     )
 
 
 def embed_and_extract_frames_pallas(frames, payload_bits, total_bits, delta,
-                                    num_ac):
+                                    num_ac, precision="wire"):
     """Round trip via the single-pass fused kernel (one HBM frame read, the
     stego never re-read for re-extraction). In round 1 the two-kernel
     pipeline measured faster; with the round-2 compact/sparse-delta
@@ -878,7 +906,7 @@ def embed_and_extract_frames_pallas(frames, payload_bits, total_bits, delta,
     8.87 ms/128 with the f32-faithful arithmetic (docs/TUNING.md round-4
     table decomposes it against the 4.85 ms DMA floor)."""
     return embed_and_extract_frames_pallas_packed(
-        frames, payload_bits, total_bits, delta, num_ac
+        frames, payload_bits, total_bits, delta, num_ac, precision
     )
 
 
@@ -900,9 +928,10 @@ def embed_and_extract_frames_pallas_fused(frames, payload_bits, total_bits,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_ac", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_ac", "interpret", "fast"))
 def _embed_and_extract_frames_pallas(
-    frames, payload_bits, total_bits, delta, num_ac, interpret
+    frames, payload_bits, total_bits, delta, num_ac, interpret, fast=False
 ):
     b, h, w = frames.shape
     wp = _lane_pad(w)
@@ -938,9 +967,9 @@ def _embed_and_extract_frames_pallas(
         interpret=interpret,
     )(
         _pad_lanes(frames, wp), rows,
-        jnp.asarray(_vert2_matrix(stripe, rn)),
+        jnp.asarray(_vert2_matrix(stripe, rn, fast)),
         jnp.asarray(_vert_expand_bf16(stripe, rn)),
-        jnp.asarray(_horiz2_matrix()),
+        jnp.asarray(_horiz2_matrix(fast)),
         jnp.asarray(_horiz_inv_bf16()),
         delta_arr, lim,
     )

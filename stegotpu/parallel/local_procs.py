@@ -145,7 +145,7 @@ def _segment_bits(stego_video, lo: int, hi: int, h8: int, w8: int,
     from stegotpu.video import VideoReader
 
     delta = jnp.float32(config.delta)
-    xfn = extract_fn(config.kernel, h8, w8)
+    xfn = extract_fn(config.kernel, h8, w8, config.qim_precision)
     out: list[np.ndarray] = []
     got, need = 0, hi - lo
     with VideoReader(stego_video) as reader:

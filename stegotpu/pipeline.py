@@ -256,7 +256,7 @@ def _embed_payload(
                     repair_rounds=config.repair_rounds, kernel=config.kernel)
         else:
             def run_embed(gray, seg, remaining):
-                return embed_fn(config.kernel, h8, w8)(
+                return embed_fn(config.kernel, h8, w8, config.qim_precision)(
                     jnp.asarray(gray), jnp.asarray(seg),
                     jnp.int32(remaining), delta, config.num_ac_coeffs,
                 )
@@ -449,7 +449,7 @@ def extract_image_from_video(
                 return sharded(jnp.asarray(gray), delta)
         else:
             def run_extract(gray):
-                return extract_fn(config.kernel, h8, w8)(
+                return extract_fn(config.kernel, h8, w8, config.qim_precision)(
                     jnp.asarray(gray), delta, config.num_ac_coeffs
                 )
 
@@ -589,7 +589,7 @@ def inspect_stego_header(
         limit = payload_mod.max_header_bits(cfg.dims_bits)
         for gray in reader.batches(1, mode="gray"):
             bits = np.asarray(
-                extract_fn(cfg.kernel, h8, w8)(
+                extract_fn(cfg.kernel, h8, w8, cfg.qim_precision)(
                     jnp.asarray(gray), jnp.float32(cfg.delta),
                     cfg.num_ac_coeffs)
             ).reshape(-1)
@@ -641,7 +641,7 @@ def embed_payload_into_gray_frames(
     b, h, w = frames_gray.shape
     cap = config.frame_capacity_bits(h, w)
     seg = pad_bits(payload_bits[: b * cap], b * cap).reshape(b, cap)
-    stego, bpf = embed_fn(config.kernel, h, w)(
+    stego, bpf = embed_fn(config.kernel, h, w, config.qim_precision)(
         jnp.asarray(frames_gray),
         jnp.asarray(seg),
         jnp.int32(min(payload_bits.size, b * cap)),
@@ -656,7 +656,7 @@ def extract_bits_from_gray_frames(
 ) -> np.ndarray:
     """Extract the full capacity bitstream from a (B, H, W) gray frame stack."""
     _, h, w = frames_gray.shape
-    bits = extract_fn(config.kernel, h, w)(
+    bits = extract_fn(config.kernel, h, w, config.qim_precision)(
         jnp.asarray(frames_gray), jnp.float32(config.delta), config.num_ac_coeffs
     )
     return np.asarray(bits).reshape(-1)

@@ -53,6 +53,7 @@ def _config_from(req: dict) -> StegoConfig:
         codec=req.get("codec", "FFV1"),
         verified_embed=bool(req.get("verified", False)),
         allow_residual=bool(req.get("allow_residual", False)),
+        qim_precision=req.get("precision", "wire"),
     )
 
 
