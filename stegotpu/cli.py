@@ -171,6 +171,10 @@ def cmd_embed(args) -> int:
                   "(device mesh) cannot combine; use dist-embed for the "
                   "full hierarchy", file=sys.stderr)
             return 1
+        if timer is not None:
+            print("note: --timing is per-pipeline; stage breakdowns are "
+                  "not collected across --procs workers", file=sys.stderr)
+            timer = None
         from stegotpu.parallel.local_procs import parallel_embed
 
         res = parallel_embed(
@@ -204,8 +208,6 @@ def cmd_embed(args) -> int:
 
 
 def cmd_extract(args) -> int:
-    import dataclasses
-
     from stegotpu.pipeline import extract_image_from_video
 
     priv = crypto.load_private_pem(args.private_key)
@@ -220,6 +222,10 @@ def cmd_extract(args) -> int:
 
     def run(run_cfg):
         if procs > 1:
+            if timer is not None:
+                print("note: --timing is per-pipeline; stage breakdowns "
+                      "are not collected across --procs workers",
+                      file=sys.stderr)
             from stegotpu.parallel.local_procs import parallel_extract
 
             return parallel_extract(args.stego, priv, run_cfg, args.output,
@@ -232,35 +238,21 @@ def cmd_extract(args) -> int:
     res = run(cfg)
     if not res.success and getattr(args, "auto_params", False):
         # RECOVERY MODE: the QIM lattice leaks delta and num_ac to anyone
-        # (steganalysis.py — the scheme hides content, not parameters), so
-        # when the supplied/default parameters fail, recover them from the
-        # stego itself and retry once with the recovered pair.
-        from stegotpu.steganalysis import (
-            analyze_frames,
-            estimate_num_ac,
-            read_gray_frames,
-        )
+        # (steganalysis.recover_params — the scheme hides content, not
+        # parameters), so when the supplied/default parameters fail,
+        # recover them from the stego itself and retry once.
+        from stegotpu.steganalysis import recover_params
 
         print(f"extract failed with delta={cfg.delta}, "
               f"coeffs={cfg.num_ac_coeffs} ({res.error}); running "
               "steganalysis parameter recovery...", file=sys.stderr)
-        gray = read_gray_frames(args.stego, 4)
-        rep = analyze_frames(gray, num_ac=cfg.num_ac_coeffs)
-        n_est = estimate_num_ac(gray, rep.best_delta) if rep.detected else 0
-        if (rep.detected and n_est > 0
-                and (rep.best_delta, n_est) != (cfg.delta,
-                                                cfg.num_ac_coeffs)):
-            print(f"RECOVERY: steganalysis estimates delta={rep.best_delta} "
-                  f"(lattice score {rep.best_score:.3f}), "
-                  f"coeffs={n_est} — retrying", file=sys.stderr)
-            cfg = dataclasses.replace(cfg, delta=rep.best_delta,
-                                      num_ac_coeffs=n_est)
+        new_cfg, msg = recover_params(args.stego, cfg)
+        if new_cfg is not None:
+            print(f"RECOVERY: {msg} — retrying", file=sys.stderr)
+            cfg = new_cfg
             res = run(cfg)
         else:
-            print("RECOVERY FAILED: no QIM lattice detected "
-                  f"(verdict: {rep.verdict}) — not a stego video, or the "
-                  "cover is too smooth to carry lattice evidence",
-                  file=sys.stderr)
+            print(f"RECOVERY FAILED: {msg}", file=sys.stderr)
     _report_timer(timer)
     if not res.success:
         print(f"EXTRACT FAILED: {res.error}", file=sys.stderr)

@@ -304,30 +304,17 @@ class StegoApp:
         )
         if not res.success and self.auto_recover.get():
             # RECOVERY MODE (mirrors `extract --auto-params` / the daemon's
-            # auto_params): re-derive delta/coeffs from the QIM lattice
-            import dataclasses
-
-            from stegotpu.steganalysis import (
-                analyze_frames,
-                estimate_num_ac,
-                read_gray_frames,
-            )
+            # auto_params): steganalysis.recover_params is the shared core
+            from stegotpu.steganalysis import recover_params
 
             self._log(
                 f"extract failed with delta={cfg.delta}, "
                 f"coeffs={cfg.num_ac_coeffs} — running steganalysis "
                 "parameter recovery...", "RUN")
-            gray = read_gray_frames(self.paths["stego_in"].get(), 4)
-            rep = analyze_frames(gray, num_ac=cfg.num_ac_coeffs)
-            n_est = (estimate_num_ac(gray, rep.best_delta)
-                     if rep.detected else 0)
-            if (rep.detected and n_est > 0
-                    and (rep.best_delta, n_est) != (cfg.delta,
-                                                    cfg.num_ac_coeffs)):
-                self._log(f"RECOVERY: estimated delta={rep.best_delta}, "
-                          f"coeffs={n_est} — retrying", "RUN")
-                cfg = dataclasses.replace(cfg, delta=rep.best_delta,
-                                          num_ac_coeffs=n_est)
+            new_cfg, msg = recover_params(self.paths["stego_in"].get(), cfg)
+            if new_cfg is not None:
+                self._log(f"RECOVERY: {msg} — retrying", "RUN")
+                cfg = new_cfg
                 res = extract_image_from_video(
                     self.paths["stego_in"].get(), priv, cfg, out,
                 )
@@ -335,8 +322,7 @@ class StegoApp:
                     self._log(f"recovered parameters: delta={cfg.delta}, "
                               f"coeffs={cfg.num_ac_coeffs}", "OK")
             else:
-                self._log("RECOVERY FAILED: no QIM lattice detected "
-                          f"({rep.verdict})", "ERR")
+                self._log(f"RECOVERY FAILED: {msg}", "ERR")
         if not res.success:
             self._log(f"EXTRACT FAILED: {res.error}", "ERR")
             return

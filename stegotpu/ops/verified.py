@@ -133,16 +133,19 @@ def embed_frames_verified(
     return stego, bits_per_frame, residual
 
 
-@functools.partial(jax.jit, static_argnames=("num_ac", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_ac", "interpret", "fast"))
 def _verified_check(frames, payload_bits, total_bits, delta, num_ac,
-                    interpret):
+                    interpret, fast=False):
     from stegotpu.ops.pallas_kernel import _embed_and_check_frames_pallas
 
     # one fused kernel: embed, re-extract in VMEM, count wrong payload bits
-    # (no bits output, no XLA compare pass)
+    # (no bits output, no XLA compare pass). In fast mode the in-VMEM
+    # re-extract runs the same single-pass-bf16 arithmetic a fast-mode
+    # reader will use — the check verifies exactly what gets read.
     stego, bpf, err_pf = _embed_and_check_frames_pallas(
         frames, payload_bits, total_bits.astype(jnp.int32), delta, num_ac,
-        interpret,
+        interpret, fast,
     )
     return stego, bpf, jnp.sum(err_pf, dtype=jnp.int32)
 
@@ -155,6 +158,7 @@ def embed_frames_verified_fast(
     num_ac: int,
     repair_rounds: int = 2,
     kernel: str = "auto",
+    precision: str = "wire",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Verified embed on the fast path (the round-3 VERDICT item).
 
@@ -179,7 +183,7 @@ def embed_frames_verified_fast(
     stego, bpf, errors = _verified_check(
         frames, jnp.asarray(payload_bits),
         jnp.asarray(total_bits, jnp.int32), jnp.asarray(delta, jnp.float32),
-        num_ac, _interpret_default(),
+        num_ac, _interpret_default(), precision == "fast",
     )
     if int(errors) == 0:
         return stego, bpf, jnp.int32(0)

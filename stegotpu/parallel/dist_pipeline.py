@@ -13,10 +13,9 @@ Segments are stitched by PACKET stream-copy (`native.videoio.concat_videos`
 -> svx_concat): no decode or re-encode — the final container's frames are
 byte-for-byte the segment encoders' output.
 
-Decode note: container seek is not part of the native reader's ABI, so a
-host decodes-and-discards frames before its segment (cheap relative to
-encode; a production multi-host deployment shards *inputs* per host as
-ARCHITECTURE.md describes, making the skip moot).
+Decode note: since r4 the reader supports EXACT container seek
+(video.py:VideoReader.seek), so a host jumps straight to its segment;
+decode-and-discard remains only as the fallback for unseekable inputs.
 
 Reference analogue: none — the reference is single-process
 (embed_process.py:108-146 is the whole loop); this is SURVEY §2.5's
@@ -268,12 +267,13 @@ def distributed_extract(
             from stegotpu.parallel.mesh import sharded_extract_frames
 
             sharded = sharded_extract_frames(mesh, config.num_ac_coeffs,
-                                             kernel=kern)
+                                             kernel=kern,
+                                             precision=config.qim_precision)
 
             def xfn(gray, d, _n):
                 return sharded(gray, d)
         else:
-            xfn = extract_fn(config.kernel, h8, w8)
+            xfn = extract_fn(config.kernel, h8, w8, config.qim_precision)
 
         # lazy forward reader over THIS host's segment: per-frame bit rows,
         # buffered across rounds (round windows need not align to batches)

@@ -128,8 +128,10 @@ def parallel_embed(
                            first.first_original_gray if first else None,
                            first.first_stego_gray if first else None,
                            residual)
-    concat_videos(out_path, [str(seg_paths[i]) for i, _, _ in live])
-    cleanup()
+    try:
+        concat_videos(out_path, [str(seg_paths[i]) for i, _, _ in live])
+    finally:
+        cleanup()  # segment temps must not outlive a failed stitch
     first = results[live[0][0]]
     log.info("parallel embed: %d segments, %d bits, %d frames",
              len(live), total, frame_count)

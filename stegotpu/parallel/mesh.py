@@ -33,15 +33,23 @@ from stegotpu.config import BLOCK
 from stegotpu.ops.qim import embed_frames as _embed_xla, extract_frames as _extract_xla
 
 
-def _kernel_fns(kernel: str):
+def _kernel_fns(kernel: str, precision: str = "wire"):
     """Per-shard kernel selection ('xla' default; 'pallas' when the shard
-    shapes allow — each device runs the single-chip kernel unchanged)."""
+    shapes allow — each device runs the single-chip kernel unchanged).
+    precision: config.qim_precision ('fast' binds the Pallas TPU-local
+    mode; the XLA kernel is HIGHEST-precision in both modes)."""
     if kernel == "pallas":
+        import functools
+
         from stegotpu.ops.pallas_kernel import (
             embed_frames_pallas,
             extract_frames_pallas,
         )
 
+        if precision == "fast":
+            return (functools.partial(embed_frames_pallas, precision="fast"),
+                    functools.partial(extract_frames_pallas,
+                                      precision="fast"))
         return embed_frames_pallas, extract_frames_pallas
     return _embed_xla, _extract_xla
 
@@ -116,7 +124,7 @@ def _shard_offsets(b_l: int, h_l: int, w_l: int, num_ac: int, n_space: int,
 
 
 def _embed_local(frames, payload, total_bits, delta, *, num_ac, n_space, block,
-                 kernel="xla"):
+                 kernel="xla", precision="wire"):
     """Per-device embed over a (b_l, h_l, w_l) frame shard.
 
     Local frame f / stripe si holds global bits
@@ -129,7 +137,7 @@ def _embed_local(frames, payload, total_bits, delta, *, num_ac, n_space, block,
     si = jax.lax.axis_index("space")
     b_l, h_l, w_l = frames.shape
     cap_stripe, cap_frame = _shard_offsets(b_l, h_l, w_l, num_ac, n_space, block)
-    embed_fn, _ = _kernel_fns(kernel)
+    embed_fn, _ = _kernel_fns(kernel, precision)
 
     def one(f, _):
         offset = (di * b_l + f) * cap_frame + si * cap_stripe
@@ -145,7 +153,7 @@ def _embed_local(frames, payload, total_bits, delta, *, num_ac, n_space, block,
 
 
 def sharded_embed_frames(mesh: Mesh, num_ac: int, block: int = BLOCK,
-                         kernel: str = "xla"):
+                         kernel: str = "xla", precision: str = "wire"):
     """Jitted dp x sp sharded embed.
 
     frames (B, H, W) shard as ('data', 'space', None); payload (B, C) as
@@ -160,6 +168,7 @@ def sharded_embed_frames(mesh: Mesh, num_ac: int, block: int = BLOCK,
         stego, bpf = _embed_local(
             frames, payload, total_bits, delta,
             num_ac=num_ac, n_space=n_space, block=block, kernel=kernel,
+            precision=precision,
         )
         bpf = jax.lax.psum(bpf, axis_name="space")
         return stego, bpf
@@ -174,10 +183,10 @@ def sharded_embed_frames(mesh: Mesh, num_ac: int, block: int = BLOCK,
 
 
 def sharded_extract_frames(mesh: Mesh, num_ac: int, block: int = BLOCK,
-                           kernel: str = "xla"):
+                           kernel: str = "xla", precision: str = "wire"):
     """Jitted dp x sp sharded extract -> (B, C) bits, purely local compute."""
     _require_default_block(block)
-    _, extract_fn = _kernel_fns(kernel)
+    _, extract_fn = _kernel_fns(kernel, precision)
 
     def _local(frames, delta):
         return extract_fn(frames, delta, num_ac)
@@ -192,7 +201,7 @@ def sharded_extract_frames(mesh: Mesh, num_ac: int, block: int = BLOCK,
 
 
 def sharded_roundtrip_step(mesh: Mesh, num_ac: int, block: int = BLOCK,
-                           kernel: str = "xla"):
+                           kernel: str = "xla", precision: str = "wire"):
     """Fused sharded embed -> extract -> global BER: one compiled program.
 
     This is the framework's "training step" analogue: real dp x sp sharding
@@ -213,8 +222,9 @@ def sharded_roundtrip_step(mesh: Mesh, num_ac: int, block: int = BLOCK,
         stego, bpf = _embed_local(
             frames, payload, total_bits, delta,
             num_ac=num_ac, n_space=n_space, block=block, kernel=kernel,
+            precision=precision,
         )
-        _, extract_fn = _kernel_fns(kernel)
+        _, extract_fn = _kernel_fns(kernel, precision)
         extracted = extract_fn(stego, delta, num_ac)
         # mask: count errors only on slots that actually carry payload
         col = jnp.arange(cap_stripe, dtype=jnp.int32)[None, :]

@@ -227,7 +227,8 @@ def _embed_payload(
                 from stegotpu.ops.verified import embed_frames_verified
 
                 step = sharded_roundtrip_step(mesh, config.num_ac_coeffs,
-                                              kernel=kern)
+                                              kernel=kern,
+                                              precision=config.qim_precision)
 
                 def run_embed_verified(gray, seg, remaining):
                     stego, bpf, _bits, errors = step(
@@ -241,7 +242,8 @@ def _embed_payload(
                         repair_rounds=config.repair_rounds)
             else:
                 sharded = sharded_embed_frames(mesh, config.num_ac_coeffs,
-                                               kernel=kern)
+                                               kernel=kern,
+                                               precision=config.qim_precision)
 
                 def run_embed(gray, seg, remaining):
                     return sharded(jnp.asarray(gray), jnp.asarray(seg),
@@ -253,7 +255,8 @@ def _embed_payload(
                 return embed_frames_verified_fast(
                     jnp.asarray(gray), jnp.asarray(seg), jnp.int32(remaining),
                     delta, config.num_ac_coeffs,
-                    repair_rounds=config.repair_rounds, kernel=config.kernel)
+                    repair_rounds=config.repair_rounds, kernel=config.kernel,
+                    precision=config.qim_precision)
         else:
             def run_embed(gray, seg, remaining):
                 return embed_fn(config.kernel, h8, w8, config.qim_precision)(
@@ -443,7 +446,8 @@ def extract_image_from_video(
 
             batch_frames, kern = _mesh_setup(mesh, config, h8, w8, batch_frames)
             sharded = sharded_extract_frames(mesh, config.num_ac_coeffs,
-                                             kernel=kern)
+                                             kernel=kern,
+                                             precision=config.qim_precision)
 
             def run_extract(gray):
                 return sharded(jnp.asarray(gray), delta)

@@ -82,8 +82,6 @@ def _do_embed(req: dict) -> dict:
 
 
 def _do_extract(req: dict) -> dict:
-    import dataclasses
-
     from stegotpu import crypto
     from stegotpu.pipeline import extract_image_from_video
 
@@ -95,23 +93,15 @@ def _do_extract(req: dict) -> dict:
         batch_frames=int(req.get("batch", 8)),
     )
     recovered = None
+    recovery_note = None
     if not res.success and bool(req.get("auto_params", False)):
-        # RECOVERY MODE (mirrors `extract --auto-params`): re-derive
-        # delta/num_ac from the stego's QIM lattice and retry once
-        from stegotpu.steganalysis import (
-            analyze_frames,
-            estimate_num_ac,
-            read_gray_frames,
-        )
+        # RECOVERY MODE (mirrors `extract --auto-params`):
+        # steganalysis.recover_params is the shared core
+        from stegotpu.steganalysis import recover_params
 
-        gray = read_gray_frames(req["stego"], 4)
-        rep = analyze_frames(gray, num_ac=cfg.num_ac_coeffs)
-        n_est = estimate_num_ac(gray, rep.best_delta) if rep.detected else 0
-        if (rep.detected and n_est > 0
-                and (rep.best_delta, n_est) != (cfg.delta,
-                                                cfg.num_ac_coeffs)):
-            cfg = dataclasses.replace(cfg, delta=rep.best_delta,
-                                      num_ac_coeffs=n_est)
+        new_cfg, recovery_note = recover_params(req["stego"], cfg)
+        if new_cfg is not None:
+            cfg = new_cfg
             res = extract_image_from_video(
                 req["stego"], priv, cfg, req.get("output"),
                 batch_frames=int(req.get("batch", 8)),
@@ -125,6 +115,8 @@ def _do_extract(req: dict) -> dict:
     }
     if recovered is not None:
         out["recovered_params"] = recovered
+    elif recovery_note is not None:
+        out["recovery_failed"] = recovery_note
     if res.error:
         out["error"] = res.error
     if res.success and not res.is_raw_data:

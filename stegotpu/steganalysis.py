@@ -221,3 +221,38 @@ def analyze_video(
     """Steganalyze the first frames of a video file."""
     return analyze_frames(read_gray_frames(path, max_frames), num_ac=num_ac,
                           **kw)
+
+
+def recover_params(stego_video, config, max_frames: int = 4):
+    """RECOVERY MODE's shared core (CLI --auto-params, the daemon's
+    auto_params, the GUI checkbox): re-derive (delta, num_ac) from the
+    stego's QIM lattice after a failed extraction.
+
+    Returns (new_config | None, message). new_config is None when a retry
+    cannot help; the message distinguishes the cases a user must tell
+    apart — no lattice at all (not a stego / too smooth) vs lattice found
+    but matching the parameters already tried (the failure is elsewhere:
+    wrong key, corrupt payload).
+    """
+    import dataclasses
+
+    gray = read_gray_frames(stego_video, max_frames)
+    rep = analyze_frames(gray, num_ac=config.num_ac_coeffs)
+    if not rep.detected:
+        return None, (f"no QIM lattice detected (verdict: {rep.verdict}) — "
+                      "not a stego video, or the cover is too smooth to "
+                      "carry lattice evidence")
+    n_est = estimate_num_ac(gray, rep.best_delta)
+    if n_est <= 0:
+        return None, (f"lattice detected at delta={rep.best_delta} but no "
+                      "conclusive num_ac estimate — cover too smooth for "
+                      "slot-level evidence")
+    if (rep.best_delta, n_est) == (config.delta, config.num_ac_coeffs):
+        return None, (f"steganalysis recovered delta={rep.best_delta}, "
+                      f"coeffs={n_est} — the SAME parameters that already "
+                      "failed: the problem is elsewhere (wrong private "
+                      "key, or a corrupted payload region)")
+    new = dataclasses.replace(config, delta=rep.best_delta,
+                              num_ac_coeffs=n_est)
+    return new, (f"steganalysis estimates delta={rep.best_delta} "
+                 f"(lattice score {rep.best_score:.3f}), coeffs={n_est}")

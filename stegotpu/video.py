@@ -73,6 +73,7 @@ class VideoReader:
         self.path = str(path)
         self._native = None
         self._cap = None
+        self._cv2_pos = 0  # frames delivered/skipped (cv2 backend only)
         if _use_native(backend):
             self._native = native_io.NativeVideoReader(self.path)
             self.info = VideoInfo(
@@ -94,18 +95,29 @@ class VideoReader:
 
     def seek(self, frame_index: int) -> None:
         """Position so the next read delivers frame `frame_index` (0-based),
-        EXACTLY. Native backend: C-side keyframe seek + decode-forward
-        (intra-only stego containers land directly). cv2 fallback: grab()
-        loop from the start — correct for any codec (cv2's CAP_PROP_POS_FRAMES
-        seek is not exactness-guaranteed on inter-coded streams, and a wrong
-        frame here silently corrupts segment embeds). Call before iteration.
+        EXACTLY (absolute index). Native backend: C-side keyframe seek +
+        decode-forward (intra-only stego containers land directly; can
+        seek anywhere, any time). cv2 fallback: grab()s forward from the
+        TRACKED read position — correct for any codec (cv2's
+        CAP_PROP_POS_FRAMES setter is not exactness-guaranteed on
+        inter-coded streams, and a wrong frame silently corrupts segment
+        embeds) — but cannot seek backwards: that raises.
         """
         if self._native is not None:
             self._native.seek(frame_index)
             return
-        for _ in range(frame_index):
+        # cv2 fallback: absolute position via the tracked read count (the
+        # grab() loop is relative; trusting CAP_PROP_POS_FRAMES setters is
+        # not exactness-safe on inter-coded streams)
+        if frame_index < self._cv2_pos:
+            raise IOError(
+                f"cv2 backend cannot seek backwards ({self._cv2_pos} -> "
+                f"{frame_index}); open a fresh VideoReader")
+        while self._cv2_pos < frame_index:
             if not self._cap.grab():
-                break  # past EOF: subsequent reads return None
+                self._cv2_pos = frame_index  # past EOF: reads return None
+                break
+            self._cv2_pos += 1
 
     def read_frame(self, crop: bool = True) -> np.ndarray | None:
         h, w = self.info.cropped if crop else (self.info.height, self.info.width)
@@ -115,6 +127,7 @@ class VideoReader:
         ret, frame = self._cap.read()
         if not ret:
             return None
+        self._cv2_pos += 1
         return frame[:h, :w]
 
     def batches(self, batch_size: int, crop: bool = True,

@@ -205,7 +205,7 @@ def test_gui_worker_extract_auto_recover(tmp_path):
     }, auto_recover=True)  # defaults 20/10 are wrong; recovery fixes them
     app._do_extract()
     msgs = app.drain()
-    assert any("RECOVERY: estimated delta=32" in m[1]
+    assert any("RECOVERY: " in m[1] and "delta=32" in m[1]
                for m in msgs if m[0] == "log"), msgs
     assert any("recovered parameters: delta=32, coeffs=3" in m[1]
                for m in msgs if m[0] == "log")

@@ -178,3 +178,63 @@ def test_cli_segment_without_payload_state_refused(tmp_path, monkeypatch,
     # LO == 0 (first segment / fresh run) stays allowed without state
     assert main(["embed", "c.mp4", "s.png", "seg0", "--batch", "4",
                  "--frame-range", "0:8"]) == 0
+
+
+def test_recover_params_distinguishes_same_params_case(tmp_path):
+    """Round-4 review: recovery used to report 'no QIM lattice detected'
+    even when the lattice WAS detected but matched the already-tried
+    parameters (e.g. wrong private key) — the shared helper must name the
+    real problem class."""
+    from stegotpu import crypto as _crypto
+    from stegotpu import fixtures
+    from stegotpu.config import StegoConfig
+    from stegotpu.pipeline import embed_image_in_video
+    from stegotpu.steganalysis import recover_params
+
+    fixtures.make_secret_image(tmp_path / "s.png", 48, 48, kind="noise",
+                               seed=51)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 320, 240, frames=6,
+                              kind="moving", seed=52)
+    _, pub_c = _crypto.setup_receiver_keys(tmp_path / "k.pem",
+                                           tmp_path / "p.pem")
+    res = embed_image_in_video(tmp_path / "c.mp4", tmp_path / "s.png",
+                               tmp_path / "st", pub_c, StegoConfig())
+    assert res.success
+
+    # defaults already correct -> recovery cannot help, and must SAY the
+    # parameters are not the problem
+    cfg, msg = recover_params(tmp_path / "st.avi", StegoConfig())
+    assert cfg is None
+    assert "SAME parameters" in msg and "key" in msg
+
+    # wrong params -> recovery returns the corrected config
+    cfg, msg = recover_params(tmp_path / "st.avi",
+                              StegoConfig(delta=33, num_ac_coeffs=5))
+    assert cfg is not None and (cfg.delta, cfg.num_ac_coeffs) == (20, 10)
+
+    # non-stego -> no lattice
+    cfg, msg = recover_params(tmp_path / "c.mp4", StegoConfig())
+    assert cfg is None and "no QIM lattice" in msg
+
+
+def test_cv2_seek_is_absolute_after_reads(tmp_path):
+    """Round-4 review: the cv2 seek fallback grabbed RELATIVE to the
+    current position; it must honor the absolute contract (and refuse to
+    go backwards)."""
+    import pytest as _pytest
+
+    from stegotpu import fixtures
+    from stegotpu.video import VideoReader
+
+    fixtures.make_cover_video(tmp_path / "c.mp4", 160, 128, frames=10,
+                              kind="moving", seed=53)
+    with VideoReader(tmp_path / "c.mp4", backend="cv2") as ref:
+        frames = [ref.read_frame() for _ in range(10)]
+
+    with VideoReader(tmp_path / "c.mp4", backend="cv2") as r:
+        r.read_frame()          # consume 2 frames first
+        r.read_frame()
+        r.seek(5)               # ABSOLUTE: next read must be frame 5
+        np.testing.assert_array_equal(r.read_frame(), frames[5])
+        with _pytest.raises(OSError):
+            r.seek(2)           # backwards: refused, not silently wrong
