@@ -78,3 +78,25 @@ def test_cli_precision_fast_roundtrip(tmp_path, monkeypatch, capsys):
                  "--precision", "fast"]) == 0
     np.testing.assert_array_equal(load_image_gray("x.png"),
                                   load_image_gray("s.png"))
+
+
+def test_sharded_paths_accept_fast_precision(rng):
+    """The mesh kernels compile and stay exact with precision='fast'
+    (round-4 review: the flag used to be silently dropped on these paths)."""
+    import jax
+
+    from stegotpu.parallel.mesh import make_mesh, sharded_roundtrip_step
+
+    if len(jax.devices()) < 4:
+        import pytest as _p
+
+        _p.skip("needs 4 virtual devices")
+    mesh = make_mesh(2, 2)
+    step = sharded_roundtrip_step(mesh, N_AC, kernel="pallas",
+                                  precision="fast")
+    frames, payload, total = _inputs(rng, b=4, h=48, w=128)
+    stego, bpf, bits, errors = step(jnp.asarray(frames), jnp.asarray(payload),
+                                    jnp.int32(total), jnp.float32(DELTA))
+    assert int(np.asarray(errors)) == 0
+    np.testing.assert_array_equal(np.asarray(bits).reshape(-1),
+                                  payload.reshape(-1))
