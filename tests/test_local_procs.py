@@ -137,3 +137,64 @@ def test_procs_flag_conflicts(workdir, capsys):
     assert main(["extract", "x.avi", "o.png", "--procs", "2",
                  "--mesh", "data=2"]) == 1
     assert "--mesh" in capsys.readouterr().err
+
+
+@pytest.mark.skipif(not available(), reason="native layer not built")
+def test_native_seek_sequence_fuzz(tmp_path):
+    """Random seek/read sequences on the native reader (incl. BACKWARD
+    seeks, which the C layer supports) always deliver the absolutely-
+    indexed frames — differential vs a full sequential decode."""
+    n = 17
+    path = tmp_path / "c.mp4"
+    fixtures.make_cover_video(path, 160, 128, frames=n, kind="moving",
+                              seed=61)
+    with VideoReader(path, backend="native") as ref:
+        oracle = [ref.read_frame() for _ in range(n)]
+
+    rng = np.random.default_rng(62)
+    with VideoReader(path, backend="native") as r:
+        pos = 0
+        for _ in range(24):
+            if rng.random() < 0.5:
+                pos = int(rng.integers(0, n + 3))
+                r.seek(pos)
+            else:
+                got = r.read_frame()
+                if pos >= n:
+                    assert got is None, pos
+                else:
+                    np.testing.assert_array_equal(got, oracle[pos],
+                                                  err_msg=f"pos={pos}")
+                    pos += 1
+
+
+@pytest.mark.skipif(not available(), reason="native layer not built")
+@pytest.mark.parametrize("codec", ["HFYU", "RGBA"])
+def test_procs_embed_non_default_codecs(workdir, capsys, codec):
+    """Packet concat is codec-general: --procs output matches --procs 1
+    byte-for-byte under HFYU and raw too."""
+    assert main(["embed", "c.mp4", "s.png", f"one_{codec}",
+                 "--payload-state", f"p{codec}", "--batch", "4",
+                 "--codec", codec]) == 0
+    assert main(["embed", "c.mp4", "s.png", f"par_{codec}",
+                 "--payload-state", f"p{codec}", "--batch", "4",
+                 "--codec", codec, "--procs", "2"]) == 0
+    capsys.readouterr()
+    import cv2
+
+    def frames_of(p):
+        cap = cv2.VideoCapture(p)
+        out = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            out.append(f)
+        cap.release()
+        return np.stack(out)
+
+    np.testing.assert_array_equal(frames_of(f"one_{codec}.avi"),
+                                  frames_of(f"par_{codec}.avi"))
+    assert main(["extract", f"par_{codec}.avi", f"x_{codec}.png"]) == 0
+    np.testing.assert_array_equal(load_image_gray(f"x_{codec}.png"),
+                                  load_image_gray("s.png"))
