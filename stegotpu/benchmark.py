@@ -105,37 +105,40 @@ def main() -> None:
     ber_val = errors / float(b * cap)
     assert ber_val <= 1e-5, f"round-trip BER {ber_val:.2e} exceeds algorithmic bound"
 
-    @jax.jit
-    def chained(f, p):
-        def body(_, carry):
-            fr, pl_ = carry
-            s, _, e = embed_and_extract_frames(fr, pl_, total, dlt, n_ac,
-                                               precision)
-            return s, e  # extracted bits are the NEXT payload: no dead code
-        out, bits = jax.lax.fori_loop(0, k_chain, body, (f, p))
-        return jnp.sum(out, dtype=jnp.int32) + jnp.sum(bits, dtype=jnp.int32)
+    def measure(prec: str) -> float:
+        @jax.jit
+        def chained(f, p):
+            def body(_, carry):
+                fr, pl_ = carry
+                s, _, e = embed_and_extract_frames(fr, pl_, total, dlt,
+                                                   n_ac, prec)
+                return s, e  # extracted bits are the NEXT payload: live
+            out, bits = jax.lax.fori_loop(0, k_chain, body, (f, p))
+            return (jnp.sum(out, dtype=jnp.int32)
+                    + jnp.sum(bits, dtype=jnp.int32))
 
-    _ = float(chained(frames, payload))  # compile + warmup (full completion)
-    t0 = time.perf_counter()
-    _ = float(chained(frames, payload))
-    dt = time.perf_counter() - t0
+        _ = float(chained(frames, payload))  # compile + warmup
+        t0 = time.perf_counter()
+        _ = float(chained(frames, payload))
+        return b * k_chain / (time.perf_counter() - t0)
 
-    fps = b * k_chain / dt
+    fps = measure(precision)
     gbps = fps * chain_bytes_per_frame(h, w, n_ac) / 1e9
-    print(
-        json.dumps(
-            {
-                "metric": "1080p_embed_extract_fps_per_chip"
-                          if precision == "wire" else
-                          "1080p_embed_extract_fps_per_chip_fastmode",
-                "value": round(fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / NORTH_STAR_FPS, 3),
-                "gbps": round(gbps, 1),
-                "pct_u8_ceiling": round(100 * gbps / U8_CEILING_GBPS, 1),
-            }
-        )
-    )
+    row = {
+        "metric": "1080p_embed_extract_fps_per_chip"
+                  if precision == "wire" else
+                  "1080p_embed_extract_fps_per_chip_fastmode",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / NORTH_STAR_FPS, 3),
+        "gbps": round(gbps, 1),
+        "pct_u8_ceiling": round(100 * gbps / U8_CEILING_GBPS, 1),
+    }
+    if precision == "wire":
+        # the opt-in TPU-local mode's figure rides along so the artifact
+        # carries both honest numbers (docs/TUNING.md round 4)
+        row["fastmode_fps"] = round(measure("fast"), 1)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
