@@ -419,10 +419,19 @@ def cmd_embed_data(args) -> int:
 
     data = Path(args.data_file).read_bytes()
     pub = crypto.serialize_public_compressed(crypto.load_public_pem(args.public_key))
-    res = embed_data_in_video(
-        args.cover, data, args.output, pub, _config_from_args(args),
-        batch_frames=args.batch,
-    )
+    procs = getattr(args, "procs", 1) or 1
+    if procs > 1:
+        from stegotpu.parallel.local_procs import parallel_embed_data
+
+        res = parallel_embed_data(
+            args.cover, data, args.output, pub, _config_from_args(args),
+            batch_frames=args.batch, procs=procs,
+        )
+    else:
+        res = embed_data_in_video(
+            args.cover, data, args.output, pub, _config_from_args(args),
+            batch_frames=args.batch,
+        )
     if not res.success:
         print(f"EMBED-DATA FAILED: {res.bits_embedded}/{res.total_payload_bits} "
               "bits embedded before the video ended", file=sys.stderr)
@@ -853,6 +862,8 @@ def build_parser() -> argparse.ArgumentParser:
     ed.add_argument("output", help="output stego video path (.avi forced)")
     ed.add_argument("--public-key", default="bob_public_key.pem")
     ed.add_argument("--batch", type=int, default=8)
+    ed.add_argument("--procs", type=int, default=1, metavar="N",
+                    help="segment-parallel worker pipelines (see embed)")
     _add_qim_flags(ed)
     _add_codec_flag(ed)
     ed.set_defaults(fn=cmd_embed_data)

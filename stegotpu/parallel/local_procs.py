@@ -58,6 +58,36 @@ def parallel_embed(
     byte-for-byte what the segment encoders produced, pixel-identical to a
     single-pipeline run of the same sealed payload.
     """
+    width, height, img_bits = image_to_bits(secret_image)
+    return _parallel_embed_payload(
+        video_in, bits_to_bytes(img_bits), width, height, video_out,
+        receiver_pub_compressed, config, batch_frames, procs, rng,
+        sealed_bits)
+
+
+def parallel_embed_data(
+    video_in: str | Path,
+    data: bytes,
+    video_out: str | Path,
+    receiver_pub_compressed: bytes,
+    config: StegoConfig = StegoConfig(),
+    batch_frames: int = 8,
+    procs: int = 2,
+    rng=None,
+) -> "EmbedResult":
+    """Segment-parallel raw-bytes embed (extension mode, `embed-data
+    --procs`): same wire format with the RAW_DATA_DIMS marker."""
+    w, h = payload_mod.RAW_DATA_DIMS
+    return _parallel_embed_payload(video_in, data, w, h, video_out,
+                                   receiver_pub_compressed, config,
+                                   batch_frames, procs, rng, None)
+
+
+def _parallel_embed_payload(
+    video_in, img_bytes: bytes, width: int, height: int, video_out,
+    receiver_pub_compressed: bytes, config: StegoConfig, batch_frames: int,
+    procs: int, rng, sealed_bits,
+) -> "EmbedResult":
     from stegotpu.native.videoio import available, build_error, concat_videos
     from stegotpu.pipeline import EmbedResult, _embed_payload
     from stegotpu.video import VideoReader, force_avi_path
@@ -68,8 +98,6 @@ def parallel_embed(
     if not available():
         raise OSError(f"--procs needs the native concat layer ({build_error()})")
 
-    width, height, img_bits = image_to_bits(secret_image)
-    img_bytes = bits_to_bytes(img_bits)
     if sealed_bits is None:
         sealed_bits, _ = payload_mod.seal_payload(
             img_bytes, width, height, receiver_pub_compressed,

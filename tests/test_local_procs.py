@@ -198,3 +198,17 @@ def test_procs_embed_non_default_codecs(workdir, capsys, codec):
     assert main(["extract", f"par_{codec}.avi", f"x_{codec}.png"]) == 0
     np.testing.assert_array_equal(load_image_gray(f"x_{codec}.png"),
                                   load_image_gray("s.png"))
+
+
+@pytest.mark.skipif(not available(), reason="native layer not built")
+def test_embed_data_procs_roundtrip(workdir, capsys):
+    """`embed-data --procs 2`: raw-bytes payloads ride the segment-parallel
+    path too, and extraction recovers the exact bytes."""
+    blob = bytes(np.random.default_rng(77).integers(0, 256, 5000,
+                                                    dtype=np.uint8))
+    (workdir / "blob.bin").write_bytes(blob)
+    assert main(["embed-data", "c.mp4", "blob.bin", "db", "--batch", "4",
+                 "--procs", "2"]) == 0
+    assert main(["extract", "db.avi", "out.bin"]) == 0
+    capsys.readouterr()
+    assert (workdir / "out.bin").read_bytes() == blob
