@@ -6,7 +6,8 @@ pipelines to local tooling as a tiny JSON-over-HTTP API (stdlib only):
 
     POST /embed    {"cover": ..., "secret": ..., "output": ...,
                     "delta": 20, "coeffs": 10, "codec": "FFV1",
-                    "verified": false, "public_key": "bob_public_key.pem"}
+                    "verified": false, "precision": "wire",
+                    "public_key": "bob_public_key.pem"}
     POST /extract  {"stego": ..., "output": ...,
                     "delta": 20, "coeffs": 10, "auto_params": false,
                     "private_key": "bob_private_key.pem"}
