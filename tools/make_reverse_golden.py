@@ -102,3 +102,55 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    main_lanepad()
+
+
+def main_lanepad() -> None:
+    """Second frozen case (r4): PALLAS-embedded stego at a lane-padded
+    width (240 % 128 != 0 — the r4 zero-pad/mask path), reference-extracted
+    at freeze time. Writes rev2_*.* next to the rev_*.* set."""
+    GOLDEN.mkdir(exist_ok=True)
+    rng = np.random.default_rng(SEED + 10)
+    frames = rng.integers(64, 192, (3, 144, 240, 3), dtype=np.uint8)
+    with VideoWriter(GOLDEN / "rev2_cover.avi", 24.0, 240, 144, "FFV1") as w:
+        w.write_bgr_batch(frames)
+
+    # 25x25 secret -> 976 + 5000 = 5976 bits (mid-block stop: % 10 == 6)
+    secret = ((np.arange(25)[:, None] * 7 + np.arange(25)[None, :] * 3 + 32)
+              % 200).astype(np.uint8)
+    Image.fromarray(secret, mode="L").save(GOLDEN / "rev2_secret.png")
+
+    priv, pub = crypto.generate_keypair(np.random.default_rng(SEED + 11))
+    pub_c = crypto.serialize_public_compressed(pub)
+    crypto.save_keypair_pem(priv, GOLDEN / "rev2_priv.pem",
+                            GOLDEN / "rev2_pub.pem")
+
+    cfg = StegoConfig(delta=20, num_ac_coeffs=10, kernel="pallas")
+    res = embed_image_in_video(
+        GOLDEN / "rev2_cover.avi", GOLDEN / "rev2_secret.png",
+        GOLDEN / "rev2_stego.avi", pub_c, cfg, batch_frames=4,
+        rng=np.random.default_rng(SEED + 12),
+    )
+    assert res.success, "embed failed"
+    assert res.total_payload_bits == 5976, res.total_payload_bits
+    assert res.total_payload_bits % cfg.num_ac_coeffs != 0
+
+    own = extract_image_from_video(GOLDEN / "rev2_stego.avi", priv, cfg)
+    assert own.success and own.hash_ok
+    np.testing.assert_array_equal(own.pixels, secret)
+
+    sys.path.insert(0, str(REFERENCE))
+    import extract_process  # noqa: E402  (reference module, black box)
+
+    out_png = GOLDEN / "rev2_ref_extracted.png"
+    ok = extract_process.ekstraksi_gambar_video_final(
+        str(GOLDEN / "rev2_stego.avi"), str(out_png), 20, 10, priv,
+        bits_untuk_dimensi=16,
+    )
+    assert ok, "reference extractor rejected our lane-padded pallas stego"
+    got = load_image_gray(out_png)
+    np.testing.assert_array_equal(got, secret)
+    print("reference extracted the LANE-PADDED pallas stego PIXEL-"
+          "IDENTICALLY; artifacts frozen:")
+    for f in sorted(GOLDEN.glob("rev2_*")):
+        print(f"  {f.name}  {f.stat().st_size} bytes")
