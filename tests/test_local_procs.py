@@ -212,3 +212,15 @@ def test_embed_data_procs_roundtrip(workdir, capsys):
     assert main(["extract", "db.avi", "out.bin"]) == 0
     capsys.readouterr()
     assert (workdir / "out.bin").read_bytes() == blob
+
+
+@pytest.mark.skipif(not available(), reason="native layer not built")
+def test_procs_with_verified_embed(workdir, capsys):
+    """--procs composes with --verified: each segment runs the closed-loop
+    repair; the stitched result extracts exactly."""
+    assert main(["embed", "c.mp4", "s.png", "pv", "--batch", "4",
+                 "--procs", "2", "--verified"]) == 0
+    assert main(["extract", "pv.avi", "xv.png"]) == 0
+    capsys.readouterr()
+    np.testing.assert_array_equal(load_image_gray("xv.png"),
+                                  load_image_gray("s.png"))
