@@ -236,3 +236,30 @@ def test_concat_unwritable_output_fails_cleanly(rng, tmp_path):
     with pytest.raises(IOError):
         concat_videos("/proc/definitely/not/writable/out.avi",
                       [tmp_path / "a.avi"])
+
+
+def test_concat_mismatched_segments_refused(tmp_path):
+    """svx_concat refuses codec or dimension mismatches with a structured
+    error instead of silently writing a broken container."""
+    import pytest
+
+    from stegotpu.native.videoio import available, concat_videos
+    from stegotpu.video import VideoWriter
+
+    if not available():
+        pytest.skip("native layer not built")
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, (3, 64, 96), np.uint8)
+    with VideoWriter(tmp_path / "ffv1.avi", 24.0, 96, 64, "FFV1") as w:
+        w.write_gray_batch(a)
+    with VideoWriter(tmp_path / "hfyu.avi", 24.0, 96, 64, "HFYU") as w:
+        w.write_gray_batch(a)
+    with VideoWriter(tmp_path / "small.avi", 24.0, 48, 64, "FFV1") as w:
+        w.write_gray_batch(a[:, :, :48])
+
+    with pytest.raises(OSError, match="mismatch"):
+        concat_videos(tmp_path / "o1.avi",
+                      [tmp_path / "ffv1.avi", tmp_path / "hfyu.avi"])
+    with pytest.raises(OSError, match="mismatch"):
+        concat_videos(tmp_path / "o2.avi",
+                      [tmp_path / "ffv1.avi", tmp_path / "small.avi"])

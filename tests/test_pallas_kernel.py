@@ -212,3 +212,15 @@ def test_pallas_nonlane_width_verified_check(rng):
     assert int(np.asarray(errors).sum()) == 0
     ex = np.asarray(extract_frames(stego, jnp.float32(DELTA), N_AC))
     np.testing.assert_array_equal(ex.reshape(-1), payload.reshape(-1))
+
+
+def test_pick_stripe_env_override(monkeypatch):
+    """STEGOTPU_PALLAS_STRIPE: a valid override wins; invalid values are
+    ignored with the default fallback (warn path)."""
+    monkeypatch.setenv("STEGOTPU_PALLAS_STRIPE", "216")
+    assert pick_stripe(1080) == 216
+    monkeypatch.setenv("STEGOTPU_PALLAS_STRIPE", "100")  # not a multiple of 8
+    assert pick_stripe(1080) == 120
+    monkeypatch.setenv("STEGOTPU_PALLAS_STRIPE", "nope")
+    assert pick_stripe(1080) == 120
+    monkeypatch.delenv("STEGOTPU_PALLAS_STRIPE")
