@@ -63,3 +63,18 @@ def extract_fn(kernel: str, h: int, w: int, precision: str = "wire"):
                                      precision="fast")
         return pallas_kernel.extract_frames_pallas
     return qim.extract_frames
+
+
+def extract_packed_fn(kernel: str, h: int, w: int, precision: str = "wire"):
+    """Packed-compact-rows extract for the streaming pipeline's fast path,
+    or None when the XLA kernel is in use (it has no packed layout).
+
+    The returned fn(frames, delta, num_ac) ships ~5x fewer readback bytes
+    than the wire-order bit plane and skips the device-side full-capacity
+    unpack entirely; pair with pallas_kernel.packed_rows_to_bits_host."""
+    if not _use_pallas(kernel, h, w):
+        return None
+    import functools
+
+    return functools.partial(pallas_kernel.extract_frames_pallas_packed,
+                             precision=precision)

@@ -240,6 +240,36 @@ def packed_rows_to_bits(packed: jnp.ndarray, h: int, w: int, num_ac: int,
     return jnp.concatenate(parts, axis=-1).reshape(b, -1)
 
 
+def packed_rows_to_bits_host(packed: np.ndarray, h: int, w: int, num_ac: int,
+                             stripe: int) -> np.ndarray:
+    """Host-side (numpy) wire-order unpack of the kernel's bit-PACKED
+    compact rows -> (B, C) — packed_rows_to_bits without the device.
+
+    The streaming extract's typical-payload fast path (pipeline.py): the
+    device ships only the packed rows (~5x smaller than the wire-order u8
+    bit plane at num_ac=10) and never runs the full-capacity unpack pass;
+    this numpy mirror rebuilds wire order on the host, where a frame's
+    65 KB of shifts is microseconds. Bit-identical to packed_rows_to_bits
+    (tests/test_pallas_kernel.py). Reference loop being matched: it too
+    reads only as many frames as the payload needs
+    (extract_process.py:55-86,173-182).
+    """
+    b = packed.shape[0]
+    bh, bw = h // BLOCK, w // BLOCK
+    rn = rows_per_block(num_ac)
+    bh_s = stripe // BLOCK
+    rp = _rows_pad(stripe, rn)
+    r = packed.reshape(b, h // stripe, rp, bw)[:, :, : bh_s * rn]
+    r = np.ascontiguousarray(r).reshape(b, bh, rn, bw, 1)
+    shifts = np.arange(BLOCK, dtype=np.uint8)
+    bits = (r >> shifts) & np.uint8(1)        # (b, bh, rn, bw, 8)
+    parts = [
+        bits[:, :, g, :, s0:s1]
+        for g, (s0, s1) in ((g, _slot_span(g, num_ac)) for g in range(rn))
+    ]
+    return np.concatenate(parts, axis=-1).reshape(b, -1)
+
+
 # --- kernels ------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
@@ -570,6 +600,16 @@ def extract_frames_pallas(frames, delta, num_ac, precision="wire"):
     """Fused extract; API-compatible with ops.qim.extract_frames."""
     return _extract_frames_pallas(frames, delta, num_ac, _interpret_default(),
                                   precision == "fast")
+
+
+def extract_frames_pallas_packed(frames, delta, num_ac, precision="wire"):
+    """Extract to the bit-packed compact-rows layout, as a DEVICE array
+    (B, (H/stripe)*rows_pad, W/8) — no wire-order unpack pass on device.
+    Pair with packed_rows_to_bits_host for the streaming pipeline's
+    typical-payload fast path, or packed_rows_to_bits to stay on device."""
+    return _extract_frames_pallas_rows_packed(
+        frames, delta, num_ac, _interpret_default(), precision == "fast"
+    )
 
 
 @functools.partial(jax.jit,

@@ -32,10 +32,11 @@ from stegotpu import payload as payload_mod
 from stegotpu.bitstream import bits_to_bytes, bytes_to_bits, pad_bits
 from stegotpu.config import StegoConfig, crop_dims
 from stegotpu.metrics import psnr_np
-from stegotpu.ops.dispatch import embed_fn, extract_fn
-from stegotpu.payload import NeedMoreBits, PayloadParts, open_payload, parse_payload_bits
-from stegotpu.video import (GraySwitch, Prefetcher, VideoReader, VideoWriter,
-                            force_avi_path)
+from stegotpu.ops.dispatch import embed_fn, extract_fn, extract_packed_fn
+from stegotpu.payload import (NeedMoreBits, PayloadParts, open_payload,
+                              parse_header_bits, parse_payload_bits)
+from stegotpu.video import (FrameBudget, GraySwitch, Prefetcher, VideoReader,
+                            VideoWriter, force_avi_path)
 
 log = logging.getLogger("stegotpu")
 
@@ -115,7 +116,8 @@ class ExtractResult:
     parts: PayloadParts | None = None
     error: str | None = None
     output_path: str | None = None
-    frames_read: int = 0  # stego frames actually decoded (incl. speculative)
+    frames_read: int = 0  # stego frames actually decoded — exactly
+    # max(first batch, header-derived payload frames) on the streaming path
 
     @property
     def is_raw_data(self) -> bool:
@@ -428,6 +430,15 @@ def extract_image_from_video(
 ) -> ExtractResult:
     """Extract, decrypt, and verify the secret image from a stego video.
 
+    Decodes exactly the frames the payload spans: an unpipelined first
+    batch yields the header (hence the exact total bit count), then a
+    FrameBudget caps the decoder at ceil(total/capacity) frames — the
+    batched equivalent of the reference's read-until-enough loop
+    (extract_process.py:55-86,173-182). On the Pallas path the device
+    ships bit-packed compact rows (no full-capacity wire-order unpack
+    pass, ~5x smaller readback) and the host unpacks in numpy
+    (ops/pallas_kernel.packed_rows_to_bits_host).
+
     timer: optional utils.profiling.StageTimer (see embed_image_in_video).
     mesh: optional ('data', 'space') mesh (see embed_image_in_video) —
     extraction is purely local per shard, no collectives.
@@ -451,73 +462,143 @@ def extract_image_from_video(
 
             def run_extract(gray):
                 return sharded(jnp.asarray(gray), delta)
-        else:
-            def run_extract(gray):
-                return extract_fn(config.kernel, h8, w8, config.qim_precision)(
-                    jnp.asarray(gray), delta, config.num_ac_coeffs
-                )
 
+            def to_bits(dev, n):
+                return np.asarray(dev)[:n].reshape(-1)
+        else:
+            packed = extract_packed_fn(config.kernel, h8, w8,
+                                       config.qim_precision)
+            if packed is not None:
+                # Pallas fast path: the device ships bit-PACKED compact rows
+                # (~5x smaller readback) and never runs the full-capacity
+                # wire-order unpack pass; the host unpacks in numpy.
+                from stegotpu.ops.pallas_kernel import (
+                    packed_rows_to_bits_host, pick_stripe)
+
+                stripe = pick_stripe(h8)
+
+                def run_extract(gray):
+                    return packed(jnp.asarray(gray), delta,
+                                  config.num_ac_coeffs)
+
+                def to_bits(dev, n):
+                    return packed_rows_to_bits_host(
+                        np.asarray(dev)[:n], h8, w8, config.num_ac_coeffs,
+                        stripe).reshape(-1)
+            else:
+                def run_extract(gray):
+                    return extract_fn(config.kernel, h8, w8,
+                                      config.qim_precision)(
+                        jnp.asarray(gray), delta, config.num_ac_coeffs
+                    )
+
+                def to_bits(dev, n):
+                    return np.asarray(dev)[:n].reshape(-1)
+
+        # Two phases (reference: reads only until enough bits accumulate,
+        # extract_process.py:55-86,173-182 — the batched equivalent):
+        #   1. header hunt, UNpipelined: pull batches lazily (no Prefetcher,
+        #      no in-flight speculation) until the header parses, which
+        #      yields the exact total payload bit count;
+        #   2. bounded bulk, pipelined: the FrameBudget caps the decoder at
+        #      exactly ceil(total/cap) frames, and the one-deep device
+        #      pipeline + Prefetcher overlap decode with device compute.
+        # Net: exactly max(batch_frames, payload_frames) frames decoded.
         collected: list[np.ndarray] = []
         collected_bits = 0
         frames_read = 0
         needed = payload_mod.FIXED_HEADER_BITS  # lower bound, grows as parsed
+        total_bits: int | None = None           # exact once header parses
         parts = None
         parse_error: str | None = None
-        # One-deep device pipeline (mirror of the embed loop): batch k+1 is
-        # dispatched before batch k's bits come back. At most one speculative
-        # batch is decoded+extracted past the payload end — harmless.
-        pending: tuple | None = None  # (n, device_bits)
 
-        def ingest(item) -> bool:
-            """Pull a device result; True when the payload parse completed."""
-            nonlocal collected_bits, needed, parts, parse_error
+        def buf_bits() -> np.ndarray:
+            if len(collected) > 1:
+                collected[:] = [np.concatenate(collected)]
+            return collected[0]
+
+        def ingest(item) -> None:
+            nonlocal collected_bits
             n, dev = item
             with _stage(timer, "device_readback"):
-                bits = np.asarray(dev)[:n].reshape(-1)
+                bits = to_bits(dev, n)
             collected.append(bits)
             collected_bits += bits.size
-            # only pay the concatenate+parse when enough bits could exist
-            # (the NeedMoreBits watermark makes this amortized-linear)
-            if collected_bits < needed:
-                return False
-            buf = np.concatenate(collected)
-            collected[:] = [buf]
-            try:
-                parts, _consumed = parse_payload_bits(buf, config.dims_bits)
-                return True
-            except NeedMoreBits as e:
-                needed = e.needed  # ciphertext/header spans more frames
-                return False
-            except ValueError as e:
-                parse_error = str(e)
-                return True
 
+        budget = FrameBudget()
+        gen = reader.batches(batch_frames, mode="gray", budget=budget)
         try:
             # mode='gray': the native decoder converts to gray in C++ during
             # decode; the 3x-larger BGR plane never reaches the host arrays.
-            with Prefetcher.maybe(reader.batches(batch_frames, mode="gray")) as prefetched:
-                for gray in _timed_iter(prefetched, timer, "decode_wait"):
-                    n = gray.shape[0]
-                    frames_read += n
-                    if n < batch_frames:
-                        gray = np.concatenate(
-                            [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
-                        )
-                    with _stage(timer, "device_dispatch"):
-                        dev = run_extract(gray)
-                    log.debug("extract progress: %d bits collected, frame %d",
-                              collected_bits, frames_read)
-                    done = pending is not None and ingest(pending)
-                    pending = (n, dev)
-                    if done:
-                        pending = None
-                        break
-                if pending is not None:
-                    ingest(pending)
+            # Phase 1 drives gen with explicit next(): breaking a for loop
+            # over a wrapping generator would close gen itself (GeneratorExit
+            # propagates through `yield from`), killing phase 2's stream.
+            while True:
+                with _stage(timer, "decode_wait"):
+                    gray = next(gen, None)
+                if gray is None:
+                    break
+                n = gray.shape[0]
+                frames_read += n
+                if n < batch_frames:
+                    gray = np.concatenate(
+                        [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
+                    )
+                with _stage(timer, "device_dispatch"):
+                    dev = run_extract(gray)
+                ingest((n, dev))
+                log.debug("extract progress: %d bits collected, frame %d",
+                          collected_bits, frames_read)
+                if collected_bits < needed:
+                    continue
+                try:
+                    _hdr, ct_len, hdr_pos = parse_header_bits(
+                        buf_bits(), config.dims_bits)
+                    total_bits = hdr_pos + 8 * ct_len
+                    break
+                except NeedMoreBits as e:
+                    needed = e.needed  # header spans more frames
+                except ValueError as e:
+                    parse_error = str(e)
+                    break
+
+            if parse_error is None and total_bits is not None \
+                    and collected_bits < total_bits:
+                # phase 2: decode EXACTLY the frames the payload spans
+                budget.limit = -(-total_bits // cap_bits)
+                pending: tuple | None = None  # (n, device_result)
+                with Prefetcher.maybe(gen) as prefetched:
+                    for gray in _timed_iter(prefetched, timer, "decode_wait"):
+                        n = gray.shape[0]
+                        frames_read += n
+                        if n < batch_frames:
+                            gray = np.concatenate(
+                                [gray,
+                                 np.zeros((batch_frames - n, h8, w8),
+                                          np.uint8)]
+                            )
+                        with _stage(timer, "device_dispatch"):
+                            dev = run_extract(gray)
+                        if pending is not None:
+                            ingest(pending)
+                        pending = (n, dev)
+                        log.debug("extract progress: %d bits collected, "
+                                  "frame %d", collected_bits, frames_read)
+                    if pending is not None:
+                        ingest(pending)
         except OSError as e:
             # corrupt/truncated container mid-stream: structured failure
             return ExtractResult(False, error=f"video read failed: {e}",
                                  frames_read=frames_read)
+        if parse_error is None and total_bits is not None \
+                and collected_bits >= total_bits:
+            try:
+                parts, _consumed = parse_payload_bits(buf_bits(),
+                                                      config.dims_bits)
+            except NeedMoreBits:  # pragma: no cover - total_bits is exact
+                pass
+            except ValueError as e:
+                parse_error = str(e)
         if parse_error is not None:
             return ExtractResult(False, error=parse_error,
                                  frames_read=frames_read)

@@ -131,7 +131,7 @@ class VideoReader:
         return frame[:h, :w]
 
     def batches(self, batch_size: int, crop: bool = True,
-                mode: str = "bgr", gray_switch=None) -> Iterator:
+                mode: str = "bgr", gray_switch=None, budget=None) -> Iterator:
         """Yield uint8 frame batches; the last may be short.
 
         mode='bgr'  -> (n, H, W, 3) BGR (default)
@@ -149,11 +149,27 @@ class VideoReader:
         Prefetcher in front, at most `depth` already-decoded batches still
         carry gray after the flip.
 
+        budget: optional FrameBudget capping TOTAL frames this generator
+        decodes. The consumer sets budget.limit once it learns how many
+        frames it actually needs (the extract pipeline: exactly the
+        header-derived payload frame count, pipeline.py) — the generator
+        then shortens its final batch and stops, so frames past the limit
+        are never decoded. The reference's extract loop reads frame-by-frame
+        only until enough bits accumulate (extract_process.py:55-86); this
+        is the batched equivalent of that early stop.
+
         On the cv2 fallback, gray is computed in numpy inside this generator,
         so a Prefetcher wrapping it still overlaps the conversion with
         device compute.
         """
         h, w = self.info.cropped if crop else (self.info.height, self.info.width)
+        emitted = 0
+
+        def next_n() -> int:
+            """Frames the next batch may hold under the budget (0 = stop)."""
+            if budget is None or budget.limit is None:
+                return batch_size
+            return min(batch_size, budget.limit - emitted)
 
         def want_gray() -> bool:
             return gray_switch is None or gray_switch.on
@@ -165,19 +181,25 @@ class VideoReader:
                 "both": self._native.read_batch_both,
             }[mode]
             while True:
+                n = next_n()
+                if n <= 0:
+                    return
                 if mode == "both" and not want_gray():
-                    bgr = self._native.read_batch(batch_size, h, w)
+                    bgr = self._native.read_batch(n, h, w)
                     batch = None if bgr is None else (bgr, None)
                 else:
-                    batch = read(batch_size, h, w)
+                    batch = read(n, h, w)
                 if batch is None:
                     return
+                emitted += (batch[0] if mode == "both" else batch).shape[0]
                 yield batch
         from stegotpu.ops.color import bgr_to_gray_np
 
         buf: list[np.ndarray] = []
 
         def emit(frames: list[np.ndarray]):
+            nonlocal emitted
+            emitted += len(frames)
             bgr = np.stack(frames)
             if mode == "bgr":
                 return bgr
@@ -187,11 +209,18 @@ class VideoReader:
             return gray if mode == "gray" else (bgr, gray)
 
         while True:
+            n = next_n()
+            if n <= 0:
+                if buf:
+                    yield emit(buf)
+                return
             frame = self.read_frame(crop)
             if frame is None:
                 break
             buf.append(frame)
-            if len(buf) == batch_size:
+            # >=: a limit that lands while buf is partially full may shrink n
+            # below len(buf); the already-decoded frames still flush
+            if len(buf) >= n:
                 yield emit(buf)
                 buf = []
         if buf:
@@ -298,6 +327,18 @@ class GraySwitch:
 
     def __init__(self) -> None:
         self.on = True
+
+
+class FrameBudget:
+    """Mutable total-frame cap shared between a consumer and its batches()
+    generator: .limit=N stops decoding after N frames total (None =
+    unbounded). The extract pipeline sets it to the exact header-derived
+    payload frame count so no frame past the payload is ever decoded."""
+
+    __slots__ = ("limit",)
+
+    def __init__(self, limit: int | None = None) -> None:
+        self.limit = limit
 
 
 def effective_cpu_count() -> int:

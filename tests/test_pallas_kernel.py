@@ -224,3 +224,49 @@ def test_pick_stripe_env_override(monkeypatch):
     monkeypatch.setenv("STEGOTPU_PALLAS_STRIPE", "nope")
     assert pick_stripe(1080) == 120
     monkeypatch.delenv("STEGOTPU_PALLAS_STRIPE")
+
+
+def test_packed_rows_to_bits_host_matches_device(rng):
+    """The numpy wire-order unpack (the streaming extract's typical-payload
+    fast path) must be bit-identical to the jitted packed_rows_to_bits on
+    arbitrary packed content, including lane-padded widths and the
+    sublane-padding rows (random garbage there must be ignored by both)."""
+    from stegotpu.ops.pallas_kernel import (
+        _rows_pad,
+        packed_rows_to_bits,
+        packed_rows_to_bits_host,
+        pick_stripe,
+        rows_per_block,
+    )
+
+    for (h, w, num_ac) in [(128, 256, 10), (120, 384, 3), (64, 128, 63),
+                           (128, 128, 1), (120, 720, 10), (48, 80, 7)]:
+        stripe = pick_stripe(h)
+        rp = _rows_pad(stripe, rows_per_block(num_ac))
+        packed = rng.integers(0, 256, (3, (h // stripe) * rp, w // 8),
+                              dtype=np.uint8)
+        dev = np.asarray(packed_rows_to_bits(jnp.asarray(packed), h, w,
+                                             num_ac, stripe))
+        host = packed_rows_to_bits_host(packed, h, w, num_ac, stripe)
+        np.testing.assert_array_equal(dev, host)
+
+
+def test_extract_packed_host_path_end_to_end(rng):
+    """extract_frames_pallas_packed + host unpack == extract_frames_pallas
+    (the wire-order device path) on real frames, both precisions."""
+    from stegotpu.ops.pallas_kernel import (
+        extract_frames_pallas_packed,
+        packed_rows_to_bits_host,
+        pick_stripe,
+    )
+
+    for (h, w, num_ac) in [(128, 256, 10), (120, 720, 10)]:
+        frames = rng.integers(0, 256, (2, h, w), dtype=np.uint8)
+        for precision in ("wire", "fast"):
+            wire = np.asarray(extract_frames_pallas(
+                frames, jnp.float32(20.0), num_ac, precision=precision))
+            pk = np.asarray(extract_frames_pallas_packed(
+                jnp.asarray(frames), jnp.float32(20.0), num_ac,
+                precision=precision))
+            host = packed_rows_to_bits_host(pk, h, w, num_ac, pick_stripe(h))
+            np.testing.assert_array_equal(wire, host)

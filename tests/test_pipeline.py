@@ -201,3 +201,59 @@ def test_full_pipeline_on_cv2_fallback(monkeypatch, tmp_path):
     assert ext.success and ext.hash_ok, ext.error
     np.testing.assert_array_equal(ext.pixels,
                                   load_image_gray(tmp_path / "s.png"))
+
+
+def test_extract_decodes_exactly_payload_frames(media, keys, tmp_path):
+    """The streaming extract decodes exactly max(first batch, payload
+    frames): after the unpipelined header batch fixes the total, the
+    FrameBudget stops the decoder at ceil(total/capacity) — no speculative
+    batch past the payload (reference reads only until enough bits
+    accumulate, extract_process.py:55-86,173-182)."""
+    priv, pub_c = keys
+    cfg = StegoConfig(delta=20, num_ac_coeffs=3)  # 3600 bits/frame
+    res = embed_image_in_video(
+        media / "cover.mp4", media / "secret.png", tmp_path / "stego_exact",
+        pub_c, cfg, batch_frames=2,
+    )
+    assert res.success
+    cap = cfg.frame_capacity_bits(240, 320)
+    payload_frames = -(-res.total_payload_bits // cap)
+    assert 2 < payload_frames < 12  # the video has 12 frames; payload 3
+    ext = extract_image_from_video(res.output_path, priv, cfg, batch_frames=2)
+    assert ext.success, ext.error
+    assert ext.frames_read == max(2, payload_frames)
+
+
+def test_extract_packed_fast_path_pallas(media, keys, tmp_path):
+    """The Pallas packed-rows readback + host unpack path (typical-payload
+    fast path) extracts pixel-identically and still decodes exactly the
+    payload frames."""
+    priv, pub_c = keys
+    cfg = StegoConfig(delta=20, num_ac_coeffs=3, kernel="pallas")
+    res = embed_image_in_video(
+        media / "cover.mp4", media / "secret.png", tmp_path / "stego_pk",
+        pub_c, cfg, batch_frames=2,
+    )
+    assert res.success
+    cap = cfg.frame_capacity_bits(240, 320)
+    payload_frames = -(-res.total_payload_bits // cap)
+    ext = extract_image_from_video(res.output_path, priv, cfg, batch_frames=2)
+    assert ext.success, ext.error
+    assert ext.frames_read == max(2, payload_frames)
+    np.testing.assert_array_equal(ext.pixels,
+                                  load_image_gray(media / "secret.png"))
+
+
+def test_extract_single_batch_payload(media, keys, tmp_path):
+    """Payload that fits the first batch: phase 2 never runs, exactly one
+    batch is decoded."""
+    priv, pub_c = keys
+    cfg = StegoConfig(delta=20, num_ac_coeffs=10)  # 12000 bits/frame
+    res = embed_image_in_video(
+        media / "cover.mp4", media / "secret.png", tmp_path / "stego_one",
+        pub_c, cfg, batch_frames=4,
+    )
+    assert res.success
+    ext = extract_image_from_video(res.output_path, priv, cfg, batch_frames=4)
+    assert ext.success, ext.error
+    assert ext.frames_read == 4  # one batch, though the video has 12 frames

@@ -153,3 +153,32 @@ def test_batches_gray_switch(tmp_path, rng):
             assert got[2][1] is None and got[3][1] is None, backend
             np.testing.assert_array_equal(
                 np.concatenate([b for b, _ in got]), frames)
+
+
+def test_batches_frame_budget(tmp_path, rng):
+    """A FrameBudget limit set mid-stream stops the decoder at exactly that
+    many total frames (short final batch), on both backends; a pre-set
+    limit bounds from the first batch."""
+    from stegotpu.video import FrameBudget
+
+    frames = rng.integers(0, 256, (12, 32, 48, 3), dtype=np.uint8)
+    with VideoWriter(tmp_path / "b.avi", 24.0, 48, 32, "FFV1") as w:
+        w.write_bgr_batch(frames)
+    for backend in ("native", "cv2"):
+        try:
+            r = VideoReader(tmp_path / "b.avi", backend=backend)
+        except RuntimeError:
+            continue  # native lib unavailable in this environment
+        with r:
+            budget = FrameBudget()
+            sizes = []
+            for i, gray in enumerate(
+                    r.batches(4, mode="gray", budget=budget)):
+                sizes.append(gray.shape[0])
+                if i == 0:
+                    budget.limit = 7  # 4 read; allow 3 more
+            assert sizes == [4, 3], backend
+        with VideoReader(tmp_path / "b.avi", backend=backend) as r:
+            sizes = [g.shape[0] for g in
+                     r.batches(4, mode="gray", budget=FrameBudget(6))]
+            assert sizes == [4, 2], backend
