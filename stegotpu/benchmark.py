@@ -105,6 +105,20 @@ def main() -> None:
     ber_val = errors / float(b * cap)
     assert ber_val <= 1e-5, f"round-trip BER {ber_val:.2e} exceeds algorithmic bound"
 
+    # Self-verifying bench (r4 VERDICT item 5): the BER bound above is an
+    # ALGORITHMIC gate loose enough to mask a margin-scale miscompile (it
+    # did, for three rounds). On real hardware, re-prove compiled-kernel
+    # bit-exactness vs the XLA oracle for BOTH precision modes and carry
+    # the verdict in the artifact; a broken kernel fails the bench here.
+    exactness_ok = None
+    if jax.default_backend() == "tpu":
+        from stegotpu.ops.exactness import quick_exactness_check
+
+        exactness_ok = all(
+            quick_exactness_check(precision=p)["ok"] for p in ("wire", "fast")
+        )
+        assert exactness_ok, "on-chip kernel exactness check FAILED"
+
     def measure(prec: str) -> float:
         @jax.jit
         def chained(f, p):
@@ -133,6 +147,7 @@ def main() -> None:
         "vs_baseline": round(fps / NORTH_STAR_FPS, 3),
         "gbps": round(gbps, 1),
         "pct_u8_ceiling": round(100 * gbps / U8_CEILING_GBPS, 1),
+        "exactness_ok": exactness_ok,
     }
     if precision == "wire":
         # the opt-in TPU-local mode's figure rides along so the artifact

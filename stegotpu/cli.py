@@ -30,6 +30,26 @@ def _config_from_args(args) -> StegoConfig:
                        qim_precision=getattr(args, "precision", "wire"))
 
 
+def _procs_arg(v: str):
+    """--procs value: a worker count, or 'auto' = min(host cores, segments)
+    (parallel.local_procs.resolve_procs)."""
+    if v == "auto":
+        return v
+    try:
+        return int(v)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"--procs takes an integer or 'auto', got {v!r}") from None
+
+
+def _procs_requested(args) -> tuple:
+    """(procs, mode, active): the --procs/--procs-mode pair; active when
+    a parallel run was requested ('auto' or N > 1)."""
+    procs = getattr(args, "procs", 1) or 1
+    mode = getattr(args, "procs_mode", "thread")
+    return procs, mode, procs == "auto" or int(procs) > 1
+
+
 def _add_qim_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--delta", type=int, default=20,
                    help="QIM quantization step (default 20)")
@@ -75,11 +95,30 @@ def cmd_genkey(args) -> int:
         print(f"key files exist ({priv_path}, {pub_path}); use --force to overwrite",
               file=sys.stderr)
         return 1
+    passphrase = None
+    if args.passphrase:
+        # never on argv (leaks via ps/shell history): env var, else prompt
+        import os
+
+        secret = os.environ.get("STEGOTPU_KEY_PASSPHRASE")
+        if not secret:
+            import getpass
+
+            secret = getpass.getpass("key passphrase: ")
+            if secret != getpass.getpass("repeat passphrase: "):
+                print("passphrases do not match", file=sys.stderr)
+                return 1
+        if not secret:
+            print("empty passphrase; use plain genkey for an unencrypted "
+                  "key", file=sys.stderr)
+            return 1
+        passphrase = secret.encode()
     if args.force:
         priv_path.unlink(missing_ok=True)
         pub_path.unlink(missing_ok=True)
-    crypto.setup_receiver_keys(priv_path, pub_path)
-    print(f"wrote {priv_path} and {pub_path} (SECP256R1)")
+    crypto.setup_receiver_keys(priv_path, pub_path, passphrase)
+    kind = "encrypted PKCS8" if passphrase else "SECP256R1"
+    print(f"wrote {priv_path} and {pub_path} ({kind})")
     return 0
 
 
@@ -160,8 +199,8 @@ def cmd_embed(args) -> int:
             print(f"sealed payload saved to '{state_npy}' "
                   "(contains the ciphertext — protect like the stego)")
 
-    procs = getattr(args, "procs", 1) or 1
-    if procs > 1:
+    procs, procs_mode, procs_active = _procs_requested(args)
+    if procs_active:
         if frame_range is not None:
             print("error: --procs cuts its own segments; it cannot combine "
                   "with --frame-range", file=sys.stderr)
@@ -180,7 +219,7 @@ def cmd_embed(args) -> int:
         res = parallel_embed(
             args.cover, args.secret, args.output, pub,
             _config_from_args(args), batch_frames=args.batch, procs=procs,
-            sealed_bits=sealed,
+            sealed_bits=sealed, mode=procs_mode,
         )
     else:
         res = embed_image_in_video(
@@ -213,15 +252,15 @@ def cmd_extract(args) -> int:
     priv = crypto.load_private_pem(args.private_key)
     timer = _make_timer(args)
     cfg = _config_from_args(args)
-    procs = getattr(args, "procs", 1) or 1
-    if procs > 1 and getattr(args, "mesh", None):
+    procs, procs_mode, procs_active = _procs_requested(args)
+    if procs_active and getattr(args, "mesh", None):
         print("error: --procs (host-parallel segments) and --mesh (device "
               "mesh) cannot combine; use dist-extract for the full "
               "hierarchy", file=sys.stderr)
         return 1
 
     def run(run_cfg):
-        if procs > 1:
+        if procs_active:
             if timer is not None:
                 print("note: --timing is per-pipeline; stage breakdowns "
                       "are not collected across --procs workers",
@@ -229,7 +268,8 @@ def cmd_extract(args) -> int:
             from stegotpu.parallel.local_procs import parallel_extract
 
             return parallel_extract(args.stego, priv, run_cfg, args.output,
-                                    batch_frames=args.batch, procs=procs)
+                                    batch_frames=args.batch, procs=procs,
+                                    mode=procs_mode)
         return extract_image_from_video(
             args.stego, priv, run_cfg, args.output,
             batch_frames=args.batch, timer=timer, mesh=_mesh_from_args(args),
@@ -419,13 +459,13 @@ def cmd_embed_data(args) -> int:
 
     data = Path(args.data_file).read_bytes()
     pub = crypto.serialize_public_compressed(crypto.load_public_pem(args.public_key))
-    procs = getattr(args, "procs", 1) or 1
-    if procs > 1:
+    procs, procs_mode, procs_active = _procs_requested(args)
+    if procs_active:
         from stegotpu.parallel.local_procs import parallel_embed_data
 
         res = parallel_embed_data(
             args.cover, data, args.output, pub, _config_from_args(args),
-            batch_frames=args.batch, procs=procs,
+            batch_frames=args.batch, procs=procs, mode=procs_mode,
         )
     else:
         res = embed_data_in_video(
@@ -707,20 +747,23 @@ def cmd_selftest(args) -> int:
 
     if jax.default_backend() == "tpu":
         # on real hardware, re-prove compiled-Pallas bit-exactness vs the
-        # XLA baseline (tools/tpucheck.py is the full sweep; this is the
-        # single-config version — TPUCHECK_r04.json documents the policy)
+        # XLA baseline for BOTH precision modes (tools/tpucheck.py is the
+        # full sweep; this is the single-config version — TPUCHECK_r05.json
+        # documents the policy)
         from stegotpu.ops.exactness import quick_exactness_check
 
-        print("TPU backend: compiled-kernel exactness check...")
-        row = quick_exactness_check()
-        print("kernel exactness:", "OK" if row["ok"] else "VIOLATION",
-              f"(stego extract mismatches: {row['extract_mismatch_stego']}, "
-              f"non-boundary cover: "
-              f"{row['extract_mismatch_cover_nonboundary']})")
-        if not row["ok"]:
-            print("SELFTEST FAILED: compiled Pallas kernel does not match "
-                  "the XLA baseline", file=sys.stderr)
-            return 1
+        for precision in ("wire", "fast"):
+            print(f"TPU backend: compiled-kernel exactness check "
+                  f"({precision})...")
+            row = quick_exactness_check(precision=precision)
+            print("kernel exactness:", "OK" if row["ok"] else "VIOLATION",
+                  f"(stego extract mismatches: "
+                  f"{row['extract_mismatch_stego']}, non-boundary cover: "
+                  f"{row['extract_mismatch_cover_nonboundary']})")
+            if not row["ok"]:
+                print("SELFTEST FAILED: compiled Pallas kernel does not "
+                      "match the XLA baseline", file=sys.stderr)
+                return 1
     print("SELFTEST PASSED")
     return 0
 
@@ -748,6 +791,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--private", default="bob_private_key.pem")
     g.add_argument("--public", default="bob_public_key.pem")
     g.add_argument("--force", action="store_true")
+    g.add_argument("--passphrase", action="store_true",
+                   help="encrypt the private PEM at rest (PKCS8): the "
+                        "passphrase comes from STEGOTPU_KEY_PASSPHRASE or "
+                        "an interactive prompt, never argv; loaders (CLI/"
+                        "GUI/server) read the same env var to decrypt")
     g.set_defaults(fn=cmd_genkey)
 
     e = sub.add_parser("embed", help="embed an encrypted secret image into a video")
@@ -774,12 +822,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="persist/reuse the sealed payload across segment "
                         "runs (separate invocations must embed the same "
                         "crypto stream); created on first use")
-    e.add_argument("--procs", type=int, default=1, metavar="N",
+    e.add_argument("--procs", type=_procs_arg, default=1, metavar="N|auto",
                    help="run N segment-parallel worker pipelines on this "
                         "host (one seal, exact-seek segments, packet-concat "
                         "stitch; pixel-identical to --procs 1) — "
                         "parallelizes the FFmpeg codec bottleneck across "
-                        "local cores")
+                        "local cores; 'auto' = min(cores, segments)")
+    e.add_argument("--procs-mode", choices=["thread", "spawn"],
+                   default="thread",
+                   help="worker kind: 'thread' (default; codec/XLA stages "
+                        "release the GIL) or 'spawn' OS processes with "
+                        "CPU-pinned jax, for GIL-bound fallback backends")
     e.add_argument("--timing", action="store_true",
                    help="print decode/device/encode stage timing to stderr")
     _add_qim_flags(e)
@@ -862,8 +915,10 @@ def build_parser() -> argparse.ArgumentParser:
     ed.add_argument("output", help="output stego video path (.avi forced)")
     ed.add_argument("--public-key", default="bob_public_key.pem")
     ed.add_argument("--batch", type=int, default=8)
-    ed.add_argument("--procs", type=int, default=1, metavar="N",
+    ed.add_argument("--procs", type=_procs_arg, default=1, metavar="N|auto",
                     help="segment-parallel worker pipelines (see embed)")
+    ed.add_argument("--procs-mode", choices=["thread", "spawn"],
+                    default="thread", help="worker kind (see embed)")
     _add_qim_flags(ed)
     _add_codec_flag(ed)
     ed.set_defaults(fn=cmd_embed_data)
@@ -880,11 +935,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "delta/coeffs from the stego's QIM lattice "
                         "(steganalysis) and retry — for stegos whose "
                         "out-of-band parameters were lost")
-    x.add_argument("--procs", type=int, default=1, metavar="N",
+    x.add_argument("--procs", type=_procs_arg, default=1, metavar="N|auto",
                    help="decode the payload's frame range with N "
                         "segment-parallel workers (header parsed first to "
                         "bound the range; exact seek per worker) — "
-                        "parallelizes the FFmpeg decode bottleneck")
+                        "parallelizes the FFmpeg decode bottleneck; "
+                        "'auto' = min(cores, segments)")
+    x.add_argument("--procs-mode", choices=["thread", "spawn"],
+                   default="thread", help="worker kind (see embed)")
     _add_qim_flags(x)
     _add_mesh_flag(x)
     x.set_defaults(fn=cmd_extract)

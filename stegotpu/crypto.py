@@ -123,15 +123,21 @@ def sha3_256(data: bytes) -> bytes:
 # --- persistent receiver keys (PEM) ------------------------------------------
 
 def save_keypair_pem(
-    priv: ec.EllipticCurvePrivateKey, private_path: str | Path, public_path: str | Path
+    priv: ec.EllipticCurvePrivateKey, private_path: str | Path,
+    public_path: str | Path, passphrase: bytes | None = None,
 ) -> None:
-    """PKCS8 unencrypted private + SubjectPublicKeyInfo public PEMs
-    (reference: config_and_setup.py:188-198)."""
+    """PKCS8 private + SubjectPublicKeyInfo public PEMs
+    (reference: config_and_setup.py:188-198 — which stores the private key
+    UNENCRYPTED; that stays the default for wire-compatibility, but
+    `passphrase` opts into encrypted PKCS8 at rest, the right choice for a
+    serving daemon's key (genkey --passphrase))."""
+    enc = (serialization.BestAvailableEncryption(passphrase)
+           if passphrase else serialization.NoEncryption())
     Path(private_path).write_bytes(
         priv.private_bytes(
             encoding=serialization.Encoding.PEM,
             format=serialization.PrivateFormat.PKCS8,
-            encryption_algorithm=serialization.NoEncryption(),
+            encryption_algorithm=enc,
         )
     )
     Path(public_path).write_bytes(
@@ -142,8 +148,32 @@ def save_keypair_pem(
     )
 
 
-def load_private_pem(path: str | Path) -> ec.EllipticCurvePrivateKey:
-    return serialization.load_pem_private_key(Path(path).read_bytes(), password=None)
+def load_private_pem(path: str | Path,
+                     passphrase: bytes | None = None
+                     ) -> ec.EllipticCurvePrivateKey:
+    """Load a PKCS8 private PEM, encrypted or not.
+
+    For an encrypted PEM with no explicit passphrase, the
+    STEGOTPU_KEY_PASSPHRASE environment variable is consulted — this is how
+    every existing caller (CLI, GUI, serving daemon) transparently supports
+    at-rest-encrypted keys without plumbing a secret through argv."""
+    import os
+
+    data = Path(path).read_bytes()
+    try:
+        return serialization.load_pem_private_key(data, password=passphrase)
+    except TypeError:
+        # "password was not given but private key is encrypted"
+        if passphrase is None:
+            env = os.environ.get("STEGOTPU_KEY_PASSPHRASE")
+            if env:
+                return serialization.load_pem_private_key(
+                    data, password=env.encode())
+            raise ValueError(
+                f"private key {path} is encrypted; set "
+                "STEGOTPU_KEY_PASSPHRASE or pass a passphrase"
+            ) from None
+        raise
 
 
 def load_public_pem(path: str | Path) -> ec.EllipticCurvePublicKey:
@@ -153,28 +183,31 @@ def load_public_pem(path: str | Path) -> ec.EllipticCurvePublicKey:
 def setup_receiver_keys(
     private_path: str | Path = "bob_private_key.pem",
     public_path: str | Path = "bob_public_key.pem",
+    passphrase: bytes | None = None,
 ) -> tuple[ec.EllipticCurvePrivateKey, bytes]:
     """Create-or-load the receiver's persistent keypair.
 
     Returns (private key, compressed public point bytes)
     (reference: config_and_setup.py:177-216 ``setup_kunci_ecc``).
+    passphrase: encrypt a NEWLY created private PEM at rest (and decrypt an
+    existing one); None keeps the reference's unencrypted default.
     """
     private_path, public_path = Path(private_path), Path(public_path)
     if not private_path.exists():
         priv, _ = generate_keypair()
-        save_keypair_pem(priv, private_path, public_path)
+        save_keypair_pem(priv, private_path, public_path, passphrase)
     elif not public_path.exists():
         # NEVER regenerate over an existing private key (stego videos
         # encrypted to it would become undecryptable) — the public half is
         # derivable from the private PEM.
-        priv = load_private_pem(private_path)
+        priv = load_private_pem(private_path, passphrase)
         public_path.write_bytes(
             priv.public_key().public_bytes(
                 encoding=serialization.Encoding.PEM,
                 format=serialization.PublicFormat.SubjectPublicKeyInfo,
             )
         )
-    priv = load_private_pem(private_path)
+    priv = load_private_pem(private_path, passphrase)
     pub = load_public_pem(public_path)
     # a stale/mismatched public PEM beside a valid private PEM would silently
     # produce stego videos the private key cannot decrypt — rewrite it from

@@ -60,6 +60,8 @@ class StegoApp:
         self.coeffs = tk.IntVar(value=10)
         self.kernel = tk.StringVar(value="auto")
         self.codec = tk.StringVar(value="FFV1")
+        self.precision = tk.StringVar(value="wire")
+        self.procs = tk.StringVar(value="1")
         self.verified = tk.BooleanVar(value=False)
         self.auto_recover = tk.BooleanVar(value=False)
         # live pipeline log: every stegotpu log record (incl. per-batch
@@ -121,6 +123,14 @@ class StegoApp:
         ttk.Combobox(params, textvariable=self.codec, width=6,
                      state="readonly",
                      values=("FFV1", "HFYU")).pack(side="left", padx=4)
+        ttk.Label(params, text="precision:").pack(side="left")
+        ttk.Combobox(params, textvariable=self.precision, width=5,
+                     state="readonly",
+                     values=("wire", "fast")).pack(side="left", padx=4)
+        ttk.Label(params, text="procs:").pack(side="left")
+        ttk.Combobox(params, textvariable=self.procs, width=5,
+                     values=("1", "2", "4", "8", "auto")).pack(side="left",
+                                                              padx=4)
         ttk.Checkbutton(params, text="verified (BER=0)",
                         variable=self.verified).pack(side="left", padx=4)
         ttk.Checkbutton(params, text="auto-recover params",
@@ -250,7 +260,19 @@ class StegoApp:
         return StegoConfig(delta=self.delta.get(),
                            num_ac_coeffs=self.coeffs.get(),
                            kernel=self.kernel.get(), codec=self.codec.get(),
-                           verified_embed=self.verified.get())
+                           verified_embed=self.verified.get(),
+                           qim_precision=self.precision.get())
+
+    def _procs_value(self):
+        """The procs knob: 'auto', or an int (1 = plain pipeline)."""
+        v = (self.procs.get() or "1").strip()
+        if v == "auto":
+            return v
+        try:
+            return max(1, int(v))
+        except ValueError:
+            self._log(f"ignoring invalid procs value {v!r}", "ERR")
+            return 1
 
     def _do_genkey(self) -> None:
         # overwrite was already confirmed on the main thread (_run)
@@ -272,10 +294,20 @@ class StegoApp:
         pub = crypto.serialize_public_compressed(
             crypto.load_public_pem(self.paths["pub_key"].get())
         )
-        res = embed_image_in_video(
-            self.paths["cover"].get(), self.paths["secret"].get(),
-            self.paths["stego_out"].get(), pub, self._config(),
-        )
+        procs = self._procs_value()
+        if procs != 1:
+            from stegotpu.parallel.local_procs import parallel_embed
+
+            res = parallel_embed(
+                self.paths["cover"].get(), self.paths["secret"].get(),
+                self.paths["stego_out"].get(), pub, self._config(),
+                procs=procs,
+            )
+        else:
+            res = embed_image_in_video(
+                self.paths["cover"].get(), self.paths["secret"].get(),
+                self.paths["stego_out"].get(), pub, self._config(),
+            )
         if not res.success:
             if res.residual_bits:
                 self._log(
@@ -299,9 +331,16 @@ class StegoApp:
         priv = crypto.load_private_pem(self.paths["priv_key"].get())
         out = self.paths["image_out"].get()
         cfg = self._config()
-        res = extract_image_from_video(
-            self.paths["stego_in"].get(), priv, cfg, out,
-        )
+        procs = self._procs_value()
+        if procs != 1:
+            from stegotpu.parallel.local_procs import parallel_extract
+
+            res = parallel_extract(self.paths["stego_in"].get(), priv, cfg,
+                                   out, procs=procs)
+        else:
+            res = extract_image_from_video(
+                self.paths["stego_in"].get(), priv, cfg, out,
+            )
         if not res.success and self.auto_recover.get():
             # RECOVERY MODE (mirrors `extract --auto-params` / the daemon's
             # auto_params): steganalysis.recover_params is the shared core

@@ -35,6 +35,17 @@ Policy (what "exact" means between two f32 kernels):
   slots on random covers): their error counts are recorded, not asserted,
   and differ slightly between kernels because clipped coefficients land
   near boundaries.
+- the verified-embed fused check kernel (_embed_and_check_frames_pallas,
+  the --verified fast path) must emit stego BIT-IDENTICAL to the plain
+  embed kernel and an error count EQUAL to a standalone re-extract's count
+  over valid slots: zero tolerance (round-5 hardening — this kernel had no
+  committed on-chip evidence before).
+- precision='fast' (single-pass bf16, the opt-in TPU-local mode) runs the
+  same invariant set with the wider FAST_TOL envelope for the vs-XLA
+  boundary comparison and the delta >= 12 robust floor (its config guard);
+  all intra-pallas identities stay zero tolerance. Before round 5 this
+  mode had zero committed on-chip evidence — the same class of blind spot
+  that hid the r1-r3 bf16 bug.
 
 Reference contract: config_and_setup.py:106-174.
 """
@@ -49,6 +60,16 @@ import numpy as np
 
 TOL_ABS = 1e-2
 TOL_REL = 2e-5
+# 'fast' (single-pass bf16, config.qim_precision): the DCT matmul inputs
+# round to bf16 (2^-9 relative), so the coefficient error is ABSOLUTE,
+# set by the accumulation magnitude (partial sums ~1e3 regardless of the
+# output's size) — observed on-chip up to 2.0 (TUNING.md round 4). The
+# envelope is 2x that: mismatches vs the f32 XLA oracle are legitimate
+# only within it of a rounding boundary; outside it, fast mode too is a
+# miscompile. (Still below delta/2 = 6 at the mode's delta >= 12 floor;
+# the robust-row BER bound is the stronger correctness gate here.)
+FAST_TOL_ABS = 4.0
+FAST_TOL_REL = 2e-3
 ROBUST_BER_BOUND = 1e-5
 
 EXACT_KEYS = [
@@ -58,24 +79,42 @@ EXACT_KEYS = [
     "extract_packed_vs_unpacked_cover",
     "extract_packed_vs_unpacked_stego",
     "fused_vs_standalone_mismatch",
+    # verified-embed fused check kernel (the --verified fast path): its
+    # stego must be bit-identical to the plain embed kernel's, and its
+    # in-VMEM error count must equal a standalone re-extract's count —
+    # both zero tolerance (same arithmetic, same matrices)
+    "verified_stego_mismatch",
+    "verified_errcount_delta",
 ]
 
 
-def is_robust(delta: float, num_ac: int) -> bool:
+def is_robust(delta: float, num_ac: int, precision: str = "wire") -> bool:
     """The BER<=1e-5 parameter envelope. delta > 50 is excluded: +-delta/2
     pixel-domain perturbations clip at 0/255 often enough on random covers
-    to lose ~4e-4 of slots (the algorithm's loss, both kernels equally)."""
-    return 8 <= delta <= 50 and num_ac <= 30
+    to lose ~4e-4 of slots (the algorithm's loss, both kernels equally).
+    'fast' mode's envelope starts at its config-enforced delta >= 12
+    (config.py qim_precision guard)."""
+    lo = 12 if precision == "fast" else 8
+    return lo <= delta <= 50 and num_ac <= 30
 
 
 def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,
-                 verbose: bool = True) -> list[dict]:
-    """One compile; a row of on-device scalar comparisons per delta."""
+                 verbose: bool = True, precision: str = "wire") -> list[dict]:
+    """One compile; a row of on-device scalar comparisons per delta.
+
+    precision: config.qim_precision mode under test for the PALLAS kernels
+    ('wire' default, 'fast' = single-pass bf16). The XLA baseline always
+    runs at Precision.HIGHEST — it is the f32 wire-contract oracle either
+    way; 'fast' rows use the wider FAST_TOL envelope for the pallas-vs-XLA
+    boundary comparison, while all intra-pallas identities (packed vs
+    unpacked, fused vs standalone, verified kernel) stay zero tolerance.
+    """
     import jax
     import jax.numpy as jnp
 
     from stegotpu.ops import qim
     from stegotpu.ops.pallas_kernel import (
+        _embed_and_check_frames_pallas,
         _extract_frames_pallas_rows,
         embed_and_extract_frames_pallas_packed,
         embed_frames_pallas,
@@ -85,6 +124,7 @@ def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,
     )
 
     interpret = jax.default_backend() == "cpu"
+    fast = precision == "fast"
     cap = (h // 8) * (w // 8) * num_ac
 
     @functools.partial(jax.jit, static_argnames=())
@@ -93,7 +133,7 @@ def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,
         stego_x, bpf_x = qim.embed_frames(frames, payload, total, delta,
                                           num_ac)
         stego_p, bpf_p = embed_frames_pallas(frames, payload, total, delta,
-                                             num_ac)
+                                             num_ac, precision=precision)
         bpf_mismatch = jnp.sum((bpf_x != bpf_p).astype(jnp.int32))
         diff = jnp.abs(stego_x.astype(jnp.int32) - stego_p.astype(jnp.int32))
         stego_maxdiff = jnp.max(diff)
@@ -103,9 +143,11 @@ def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,
             """(mismatches, nonboundary mismatches, max boundary distance
             among mismatches, packed-vs-unpacked mismatches, ex_p)."""
             ex_x = qim.extract_frames(fr, delta, num_ac)
-            ex_p = extract_frames_pallas(fr, delta, num_ac)
+            ex_p = extract_frames_pallas(fr, delta, num_ac,
+                                         precision=precision)
             ex_u = rows_to_bits(
-                _extract_frames_pallas_rows(fr, delta, num_ac, interpret),
+                _extract_frames_pallas_rows(fr, delta, num_ac, interpret,
+                                            fast),
                 h, w, num_ac, pick_stripe(h))
             from stegotpu.ops.dct import blockify, kron_dct_matrix
 
@@ -127,9 +169,10 @@ def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,
 
         # --- fused roundtrip: its extracted bits == standalone extract ---
         st_f, _, ex_f = embed_and_extract_frames_pallas_packed(
-            frames, payload, total, delta, num_ac)
+            frames, payload, total, delta, num_ac, precision)
         fused_vs_standalone = jnp.sum(
-            (ex_f != extract_frames_pallas(st_f, delta, num_ac)
+            (ex_f != extract_frames_pallas(st_f, delta, num_ac,
+                                           precision=precision)
              ).astype(jnp.int32))
 
         # --- roundtrip payload recovery, both kernels, valid bits only ---
@@ -140,14 +183,28 @@ def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,
         err_x = jnp.sum(
             (valid & (qim.extract_frames(stego_x, delta, num_ac) != payload)
              ).astype(jnp.int32))
+
+        # --- verified-embed fused check kernel (the --verified fast path):
+        # stego bit-identical to the plain embed kernel; its in-VMEM error
+        # count equal to a standalone re-extract's count over valid slots ---
+        st_v, _bpf_v, errs_v = _embed_and_check_frames_pallas(
+            frames, payload, total, delta, num_ac, interpret, fast)
+        v_stego_mm = jnp.sum((st_v != stego_p).astype(jnp.int32))
+        ex_v = extract_frames_pallas(st_v, delta, num_ac, precision=precision)
+        v_err_standalone = jnp.sum(
+            (valid & (ex_v != payload)).astype(jnp.int32))
+        v_err_delta = jnp.abs(jnp.sum(errs_v) - v_err_standalone)
         return (bpf_mismatch, stego_maxdiff, stego_gt1,
                 mm_c, mm_c_nb, mm_c_dist, pu_c,
                 mm_s, mm_s_nb, mm_s_dist, pu_s,
-                fused_vs_standalone, err_p, err_x)
+                fused_vs_standalone, err_p, err_x,
+                v_stego_mm, v_err_delta)
 
     frames = jax.device_put(rng.integers(0, 256, (b, h, w), dtype=np.uint8))
     payload = jax.device_put(
         rng.integers(0, 2, (b, cap), dtype=np.uint8))
+    tol_abs, tol_rel = ((FAST_TOL_ABS, FAST_TOL_REL) if fast
+                        else (TOL_ABS, TOL_REL))
     rows = []
     for delta in deltas:
         # payload ends mid-block in the last frame (the parse-boundary case)
@@ -155,14 +212,15 @@ def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,
         t0 = time.perf_counter()
         out = [float(v) for v in compare(
             frames, payload, total, jnp.float32(delta),
-            jnp.float32(TOL_ABS), jnp.float32(TOL_REL))]
+            jnp.float32(tol_abs), jnp.float32(tol_rel))]
         dt = time.perf_counter() - t0
         (bpf_mm, maxdiff, gt1, mc, mcnb, mcd, puc, ms, msnb, msd, pus,
-         fvs, err_p, err_x) = out
+         fvs, err_p, err_x, v_smm, v_ed) = out
         rows.append({
             "h": h, "w": w, "batch": b, "num_ac": num_ac, "delta": delta,
+            "precision": precision,
             "total_bits": int(b * cap - 13),
-            "robust": is_robust(delta, num_ac),
+            "robust": is_robust(delta, num_ac, precision),
             "bpf_mismatch": int(bpf_mm),
             "stego_max_abs_diff": int(maxdiff),
             "stego_gt1_frac": round(gt1 / (b * h * w), 6),
@@ -176,6 +234,8 @@ def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,
             "extract_packed_vs_unpacked_cover": int(puc),   # ZERO tolerance
             "extract_packed_vs_unpacked_stego": int(pus),   # ZERO tolerance
             "fused_vs_standalone_mismatch": int(fvs),       # ZERO tolerance
+            "verified_stego_mismatch": int(v_smm),          # ZERO tolerance
+            "verified_errcount_delta": int(v_ed),           # ZERO tolerance
             "roundtrip_errors_pallas": int(err_p),
             "roundtrip_errors_xla": int(err_x),
             "wall_s": round(dt, 2),
@@ -196,11 +256,13 @@ def row_ok(row: dict) -> bool:
     return True
 
 
-def quick_exactness_check(rng=None, verbose: bool = False) -> dict:
+def quick_exactness_check(rng=None, verbose: bool = False,
+                          precision: str = "wire") -> dict:
     """One selftest-sized config; returns the result row plus ok flag."""
     if rng is None:
         rng = np.random.default_rng(42)
-    rows = check_config(4, 240, 384, 10, [20.0], rng, verbose=verbose)
+    rows = check_config(4, 240, 384, 10, [20.0], rng, verbose=verbose,
+                        precision=precision)
     row = rows[0]
     row["ok"] = row_ok(row)
     return row

@@ -23,6 +23,7 @@ the speedup well below N on decode-bound paths).
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
@@ -39,6 +40,61 @@ from stegotpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 
+def resolve_procs(procs, frame_count: int, batch_frames: int) -> int:
+    """'auto' -> min(effective host cores, batch-aligned segments in the
+    work) — the `--procs auto` default policy. Integers pass through."""
+    if procs in (None, "", "auto"):
+        from stegotpu.video import effective_cpu_count
+
+        segs = max(1, -(-frame_count // batch_frames)) if frame_count > 0 else 1
+        return max(1, min(effective_cpu_count(), segs))
+    return int(procs)
+
+
+def _spawn_init() -> None:
+    """Spawn-worker initializer: pin jax to CPU BEFORE any backend init.
+
+    `--procs-mode spawn` exists for hosts/backends where a stage holds the
+    GIL (the cv2 fallback decoder) — i.e. CPU-compute hosts. A single-chip
+    accelerator admits ONE client process, so worker processes must never
+    touch it; they compute on the XLA CPU backend (bit-identical output:
+    the wire contract is f32-exact there)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _embed_segment_task(video_in, img_bytes, width, height, seg_path,
+                        receiver_pub_compressed, config, batch_frames,
+                        lo, hi, sealed_bits):
+    """Top-level (picklable) worker body shared by thread and spawn pools."""
+    from stegotpu.pipeline import _embed_payload
+
+    return _embed_payload(
+        video_in, img_bytes, width, height, seg_path,
+        receiver_pub_compressed, config, batch_frames,
+        frame_range=(lo, hi), sealed_bits=sealed_bits,
+    )
+
+
+def _make_pool(mode: str, max_workers: int):
+    """Worker pool for `mode` ('thread' default, 'spawn' = OS processes
+    with CPU-pinned jax; see _spawn_init and docs/DEPLOYMENT.md)."""
+    if mode == "spawn":
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        return ProcessPoolExecutor(
+            max_workers=max_workers,
+            mp_context=mp.get_context("spawn"),
+            initializer=_spawn_init,
+        )
+    if mode != "thread":
+        raise ValueError(f"unknown procs mode {mode!r} (thread|spawn)")
+    return ThreadPoolExecutor(max_workers=max_workers)
+
+
 def parallel_embed(
     video_in: str | Path,
     secret_image: str | Path,
@@ -46,9 +102,10 @@ def parallel_embed(
     receiver_pub_compressed: bytes,
     config: StegoConfig = StegoConfig(),
     batch_frames: int = 8,
-    procs: int = 2,
+    procs: int | str = 2,
     rng=None,
     sealed_bits=None,
+    mode: str = "thread",
 ) -> "EmbedResult":
     """One-command segment-parallel embed across `procs` local workers.
 
@@ -57,12 +114,18 @@ def parallel_embed(
     batch boundaries, and the output is stitched by packet stream-copy:
     byte-for-byte what the segment encoders produced, pixel-identical to a
     single-pipeline run of the same sealed payload.
+
+    procs: worker count, or 'auto' = min(host cores, segments) — resolves
+    to the plain single-pipeline path on 1-core hosts.
+    mode: 'thread' (default — every hot stage releases the GIL) or 'spawn'
+    (OS processes with CPU-pinned jax, for hosts where a stage holds the
+    GIL, e.g. the cv2 fallback decoder; see docs/DEPLOYMENT.md).
     """
     width, height, img_bits = image_to_bits(secret_image)
     return _parallel_embed_payload(
         video_in, bits_to_bytes(img_bits), width, height, video_out,
         receiver_pub_compressed, config, batch_frames, procs, rng,
-        sealed_bits)
+        sealed_bits, mode)
 
 
 def parallel_embed_data(
@@ -72,27 +135,28 @@ def parallel_embed_data(
     receiver_pub_compressed: bytes,
     config: StegoConfig = StegoConfig(),
     batch_frames: int = 8,
-    procs: int = 2,
+    procs: int | str = 2,
     rng=None,
+    mode: str = "thread",
 ) -> "EmbedResult":
     """Segment-parallel raw-bytes embed (extension mode, `embed-data
     --procs`): same wire format with the RAW_DATA_DIMS marker."""
     w, h = payload_mod.RAW_DATA_DIMS
     return _parallel_embed_payload(video_in, data, w, h, video_out,
                                    receiver_pub_compressed, config,
-                                   batch_frames, procs, rng, None)
+                                   batch_frames, procs, rng, None, mode)
 
 
 def _parallel_embed_payload(
     video_in, img_bytes: bytes, width: int, height: int, video_out,
     receiver_pub_compressed: bytes, config: StegoConfig, batch_frames: int,
-    procs: int, rng, sealed_bits,
+    procs, rng, sealed_bits, mode: str = "thread",
 ) -> "EmbedResult":
     from stegotpu.native.videoio import available, build_error, concat_videos
     from stegotpu.pipeline import EmbedResult, _embed_payload
     from stegotpu.video import VideoReader, force_avi_path
 
-    if procs < 2:
+    if procs != "auto" and int(procs) < 2:
         raise ValueError("parallel_embed needs procs >= 2 (use the plain "
                          "pipeline for 1)")
     if not available():
@@ -115,22 +179,26 @@ def _parallel_embed_payload(
     if config.frame_capacity_bits(h8, w8) == 0:
         return EmbedResult(False, None, total, 0, 0)
 
+    procs = resolve_procs(procs, frame_count, batch_frames)
+    if procs < 2:  # 'auto' on a 1-core host: the plain pipeline IS optimal
+        return _embed_payload(video_in, img_bytes, width, height, video_out,
+                              receiver_pub_compressed, config, batch_frames,
+                              sealed_bits=sealed_bits)
+
     bounds = segment_bounds(frame_count, procs, batch_frames)
     out_path = Path(force_avi_path(video_out))
     live = [(i, lo, hi) for i, (lo, hi) in enumerate(bounds)
             if lo < frame_count]
     seg_paths = {i: out_path.with_suffix(f".seg{i}.avi") for i, _, _ in live}
 
-    def run_segment(i: int, lo: int, hi: int | None):
-        return _embed_payload(
-            video_in, img_bytes, width, height, seg_paths[i],
-            receiver_pub_compressed, config, batch_frames,
-            frame_range=(lo, hi), sealed_bits=sealed_bits,
-        )
-
-    with ThreadPoolExecutor(max_workers=len(live)) as pool:
-        futures = [(i, pool.submit(run_segment, i, lo, hi))
-                   for i, lo, hi in live]
+    with _make_pool(mode, len(live)) as pool:
+        futures = [
+            (i, pool.submit(
+                _embed_segment_task, str(video_in), img_bytes, width, height,
+                str(seg_paths[i]), receiver_pub_compressed, config,
+                batch_frames, lo, hi, sealed_bits))
+            for i, lo, hi in live
+        ]
         results = {}
         errors = []
         for i, fut in futures:
@@ -201,7 +269,8 @@ def parallel_extract(
     config: StegoConfig = StegoConfig(),
     output_image: str | Path | None = None,
     batch_frames: int = 8,
-    procs: int = 2,
+    procs: int | str = 2,
+    mode: str = "thread",
 ) -> "ExtractResult":
     """One-command segment-parallel extract across `procs` local workers.
 
@@ -210,12 +279,14 @@ def parallel_extract(
     front; phase 2 splits that range into batch-aligned segments, each
     worker seeks to its start and extracts its bits; the assembled stream
     then decrypts exactly as in the single-pipeline path.
+
+    procs: worker count or 'auto'; mode: 'thread'|'spawn' (parallel_embed).
     """
     from stegotpu.payload import NeedMoreBits, open_payload, parse_payload_bits
     from stegotpu.pipeline import ExtractResult, inspect_stego_header
     from stegotpu.video import VideoReader
 
-    if procs < 2:
+    if procs != "auto" and int(procs) < 2:
         raise ValueError("parallel_extract needs procs >= 2")
     try:
         hdr = inspect_stego_header(stego_video, config)
@@ -232,12 +303,19 @@ def parallel_extract(
             error=f"payload spans {frames_needed} frames but the video has "
                   f"{frame_count}")
 
+    procs = resolve_procs(procs, frames_needed, batch_frames)
+    if procs < 2:  # 'auto' on a 1-core host
+        from stegotpu.pipeline import extract_image_from_video
+
+        return extract_image_from_video(stego_video, receiver_private,
+                                        config, output_image, batch_frames)
+
     bounds = segment_bounds(frames_needed, procs, batch_frames)
     live = [(lo, hi if hi is not None else frames_needed)
             for lo, hi in bounds if lo < frames_needed]
-    with ThreadPoolExecutor(max_workers=len(live)) as pool:
-        futures = [pool.submit(_segment_bits, stego_video, lo, hi, h8, w8,
-                               config, batch_frames) for lo, hi in live]
+    with _make_pool(mode, len(live)) as pool:
+        futures = [pool.submit(_segment_bits, str(stego_video), lo, hi, h8,
+                               w8, config, batch_frames) for lo, hi in live]
         try:
             chunks = [f.result() for f in futures]
         except OSError as e:

@@ -91,3 +91,64 @@ def test_pem_persistence(tmp_path):
     priv2, pub_c2 = crypto.setup_receiver_keys(priv_p, pub_p)
     assert pub_c1 == pub_c2
     assert priv1.private_numbers().private_value == priv2.private_numbers().private_value
+
+
+def test_encrypted_private_pem_roundtrip(tmp_path, monkeypatch):
+    """genkey --passphrase contract: encrypted PKCS8 at rest; loaders accept
+    an explicit passphrase OR the STEGOTPU_KEY_PASSPHRASE env var; a missing
+    passphrase is a clean structured error (r4 VERDICT item 7)."""
+    import pytest
+
+    from stegotpu import crypto
+
+    priv_p, pub_p = tmp_path / "k.pem", tmp_path / "k.pub.pem"
+    priv, pub_c = crypto.setup_receiver_keys(priv_p, pub_p, b"hunter2")
+    pem = priv_p.read_bytes()
+    assert b"ENCRYPTED" in pem  # PKCS8 EncryptedPrivateKeyInfo
+
+    # explicit passphrase
+    again = crypto.load_private_pem(priv_p, b"hunter2")
+    assert again.private_numbers() == priv.private_numbers()
+
+    # env-var path (how the serving daemon decrypts without argv secrets)
+    monkeypatch.setenv("STEGOTPU_KEY_PASSPHRASE", "hunter2")
+    via_env = crypto.load_private_pem(priv_p)
+    assert via_env.private_numbers() == priv.private_numbers()
+
+    # no passphrase anywhere -> structured error, not a traceback
+    monkeypatch.delenv("STEGOTPU_KEY_PASSPHRASE")
+    with pytest.raises(ValueError, match="encrypted"):
+        crypto.load_private_pem(priv_p)
+
+    # wrong passphrase -> cryptography's ValueError surfaces
+    with pytest.raises(ValueError):
+        crypto.load_private_pem(priv_p, b"wrong")
+
+    # create-or-load reentry with the passphrase works (PEMs exist)
+    priv2, pub_c2 = crypto.setup_receiver_keys(priv_p, pub_p, b"hunter2")
+    assert pub_c2 == pub_c
+
+
+def test_encrypted_key_full_pipeline(tmp_path, monkeypatch):
+    """embed -> extract round trip with an at-rest-encrypted receiver key,
+    decrypted via the env var (the server's deployment shape)."""
+    import numpy as np
+
+    from stegotpu import crypto, fixtures
+    from stegotpu.config import StegoConfig
+    from stegotpu.image import load_image_gray
+    from stegotpu.pipeline import embed_image_in_video, extract_image_from_video
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("STEGOTPU_KEY_PASSPHRASE", "s3cret")
+    priv, pub_c = crypto.setup_receiver_keys("p.pem", "p.pub.pem", b"s3cret")
+    fixtures.make_secret_image("s.png", 32, 32, kind="pattern")
+    fixtures.make_cover_video("c.mp4", 320, 240, frames=8, kind="moving")
+    cfg = StegoConfig()
+    res = embed_image_in_video("c.mp4", "s.png", "st", pub_c, cfg)
+    assert res.success
+    # reload through the env-var path, as the daemon would
+    priv_loaded = crypto.load_private_pem("p.pem")
+    ext = extract_image_from_video(res.output_path, priv_loaded, cfg)
+    assert ext.success, ext.error
+    np.testing.assert_array_equal(ext.pixels, load_image_gray("s.png"))

@@ -71,20 +71,25 @@ class _Var:
 class _HeadlessApp:
     """Duck-typed stand-in: real worker methods, no Tk objects."""
 
-    def __init__(self, paths, delta=20, coeffs=10, auto_recover=False):
+    def __init__(self, paths, delta=20, coeffs=10, auto_recover=False,
+                 procs="1", precision="wire"):
         from stegotpu.gui import StegoApp
 
         self._q = queue.Queue()
         self.paths = {k: _Var(v) for k, v in paths.items()}
         self._delta, self._coeffs = delta, coeffs
         self.auto_recover = _Var(auto_recover)
+        self.procs = _Var(procs)
+        self.precision = _Var(precision)
         self._do_extract = StegoApp._do_extract.__get__(self)
         self._do_embed = StegoApp._do_embed.__get__(self)
+        self._procs_value = StegoApp._procs_value.__get__(self)
 
     def _config(self):
         from stegotpu.config import StegoConfig
 
-        return StegoConfig(delta=self._delta, num_ac_coeffs=self._coeffs)
+        return StegoConfig(delta=self._delta, num_ac_coeffs=self._coeffs,
+                           qim_precision=self.precision.get())
 
     def _log(self, msg, tag="INFO"):
         self._q.put(("log", msg, tag))
@@ -210,3 +215,45 @@ def test_gui_worker_extract_auto_recover(tmp_path):
     assert any("recovered parameters: delta=32, coeffs=3" in m[1]
                for m in msgs if m[0] == "log")
     assert any("SHA3-256 integrity: OK" in m[1] for m in msgs if m[0] == "log")
+
+
+def test_gui_worker_procs_knob_headless(tmp_path):
+    """The GUI procs knob routes embed AND extract through the
+    segment-parallel path (r4 VERDICT item 8); 'auto' and bad values
+    degrade gracefully."""
+    from stegotpu import crypto, fixtures
+    from stegotpu.native.videoio import available
+
+    if not available():
+        pytest.skip("native concat layer not built")
+    fixtures.make_secret_image(tmp_path / "s.png", 16, 16, kind="pattern")
+    fixtures.make_cover_video(tmp_path / "c.mp4", 320, 240, frames=8,
+                              kind="moving")
+    crypto.setup_receiver_keys(tmp_path / "priv.pem", tmp_path / "pub.pem")
+    paths = {
+        "cover": str(tmp_path / "c.mp4"), "secret": str(tmp_path / "s.png"),
+        "stego_out": str(tmp_path / "st.avi"),
+        "stego_in": str(tmp_path / "st.avi"),
+        "image_out": str(tmp_path / "x.png"),
+        "pub_key": str(tmp_path / "pub.pem"),
+        "priv_key": str(tmp_path / "priv.pem"),
+    }
+    app = _HeadlessApp(paths, procs="2")
+    app._do_embed()
+    msgs = app.drain()
+    assert any("embedded" in m[1] for m in msgs if m[0] == "log"), msgs
+    assert not any(m[2] == "ERR" for m in msgs if m[0] == "log"), msgs
+    app._do_extract()
+    msgs = app.drain()
+    assert any("image ->" in m[1] for m in msgs if m[0] == "log"), msgs
+
+    assert _HeadlessApp(paths, procs="auto")._procs_value() == "auto"
+    bad = _HeadlessApp(paths, procs="oops")
+    assert bad._procs_value() == 1  # logged, not raised
+
+
+def test_gui_worker_precision_knob_plumbs(tmp_path):
+    """The precision knob lands in StegoConfig.qim_precision."""
+    app = _HeadlessApp({}, precision="fast")
+    assert app._config().qim_precision == "fast"
+    assert _HeadlessApp({})._config().qim_precision == "wire"

@@ -224,3 +224,63 @@ def test_procs_with_verified_embed(workdir, capsys):
     capsys.readouterr()
     np.testing.assert_array_equal(load_image_gray("xv.png"),
                                   load_image_gray("s.png"))
+
+
+def test_resolve_procs_auto(monkeypatch):
+    """'auto' = min(effective host cores, batch-aligned segments)."""
+    from stegotpu.parallel import local_procs
+    import stegotpu.video as video
+
+    monkeypatch.setattr(video, "effective_cpu_count", lambda: 4)
+    assert local_procs.resolve_procs("auto", 24, 8) == 3   # 3 segments
+    assert local_procs.resolve_procs("auto", 640, 8) == 4  # core-bound
+    assert local_procs.resolve_procs("auto", 4, 8) == 1    # one segment
+    assert local_procs.resolve_procs(2, 4, 8) == 2         # explicit N wins
+    monkeypatch.setattr(video, "effective_cpu_count", lambda: 1)
+    assert local_procs.resolve_procs("auto", 640, 8) == 1
+
+
+@pytest.mark.skipif(not available(), reason="native layer not built")
+def test_procs_auto_on_one_core_falls_back_to_plain(workdir, capsys):
+    """`--procs auto` on a 1-core host resolves to the plain pipeline and
+    still round-trips (this CI VM has one core)."""
+    assert main(["embed", "c.mp4", "s.png", "auto_out", "--batch", "4",
+                 "--procs", "auto"]) == 0
+    assert main(["extract", "auto_out.avi", "xa.png", "--procs", "auto"]) == 0
+    np.testing.assert_array_equal(load_image_gray("xa.png"),
+                                  load_image_gray("s.png"))
+
+
+@pytest.mark.skipif(not available(), reason="native layer not built")
+def test_procs_spawn_mode_byte_identity(workdir, capsys):
+    """`--procs-mode spawn` (OS-process workers, CPU-pinned jax) produces a
+    byte-identical container to the thread-mode run of the same sealed
+    payload, and extraction with spawn workers recovers the secret."""
+    from pathlib import Path
+
+    from stegotpu.parallel.local_procs import parallel_embed, parallel_extract
+
+    priv = crypto.load_private_pem("bob_private_key.pem")
+    pub = crypto.serialize_public_compressed(
+        crypto.load_public_pem("bob_public_key.pem"))
+    cfg = StegoConfig(delta=20, num_ac_coeffs=10)
+    rng = np.random.default_rng(7)
+    sealed = None
+    from stegotpu import payload as payload_mod
+    from stegotpu.image import image_to_bits
+    from stegotpu.bitstream import bits_to_bytes
+
+    w, h, bits = image_to_bits("s.png")
+    sealed, _ = payload_mod.seal_payload(bits_to_bytes(bits), w, h, pub,
+                                         rng=rng)
+    r1 = parallel_embed("c.mp4", "s.png", "thr", pub, cfg, batch_frames=4,
+                        procs=2, sealed_bits=sealed, mode="thread")
+    assert r1.success
+    r2 = parallel_embed("c.mp4", "s.png", "spn", pub, cfg, batch_frames=4,
+                        procs=2, sealed_bits=sealed, mode="spawn")
+    assert r2.success
+    assert Path("thr.avi").read_bytes() == Path("spn.avi").read_bytes()
+
+    res = parallel_extract("spn.avi", priv, cfg, procs=2, mode="spawn")
+    assert res.success, res.error
+    np.testing.assert_array_equal(res.pixels, load_image_gray("s.png"))

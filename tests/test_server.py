@@ -174,3 +174,31 @@ def test_serve_extract_auto_params_recovery(server, tmp_path):
     assert out["recovered_params"] == {"delta": 32, "coeffs": 3}
     secret = np.array(load_image_gray(tmp_path / "s.png"))
     np.testing.assert_array_equal(load_image_gray(tmp_path / "x.png"), secret)
+
+
+def test_serve_with_encrypted_key_env_passphrase(server, tmp_path,
+                                                 monkeypatch):
+    """The daemon extracts with an at-rest-encrypted private PEM, decrypted
+    via STEGOTPU_KEY_PASSPHRASE (genkey --passphrase deployment shape)."""
+    monkeypatch.setenv("STEGOTPU_KEY_PASSPHRASE", "daemon-secret")
+    fixtures.make_secret_image(tmp_path / "s.png", 24, 24, kind="noise",
+                               seed=4)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 160, 128, frames=8,
+                              kind="moving", seed=5)
+    crypto.setup_receiver_keys(tmp_path / "ek.pem", tmp_path / "ep.pem",
+                               b"daemon-secret")
+    assert b"ENCRYPTED" in (tmp_path / "ek.pem").read_bytes()
+
+    code, out = _post(server, "/embed", {
+        "cover": str(tmp_path / "c.mp4"), "secret": str(tmp_path / "s.png"),
+        "output": str(tmp_path / "st"), "public_key": str(tmp_path / "ep.pem"),
+    })
+    assert code == 200 and out["success"], out
+    code, out = _post(server, "/extract", {
+        "stego": str(tmp_path / "st.avi"),
+        "output": str(tmp_path / "x.png"),
+        "private_key": str(tmp_path / "ek.pem"),
+    })
+    assert code == 200 and out["success"], out
+    np.testing.assert_array_equal(load_image_gray(tmp_path / "x.png"),
+                                  load_image_gray(tmp_path / "s.png"))

@@ -48,7 +48,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="one small config (selftest-sized)")
-    ap.add_argument("--out", default=str(REPO / "TPUCHECK_r04.json"))
+    ap.add_argument("--out", default=str(REPO / "TPUCHECK_r05.json"))
     args = ap.parse_args()
 
     import os
@@ -65,15 +65,27 @@ def main() -> None:
     backend = jax.default_backend()
     rng = np.random.default_rng(42)
 
+    # config tuples: (batch, h, w, num_ac, deltas, precision)
     if args.quick:
-        configs = [(4, 240, 384, 10, [20.0])]
+        configs = [(4, 240, 384, 10, [20.0], "wire"),
+                   (4, 240, 384, 10, [20.0], "fast")]
     else:
         # smallest-first: on a slow tunnel day each compile is minutes, so
-        # cheap configs should reach the checkpoint before a timeout
-        configs = [(4, 480, 720, 10, [20.0])]  # non-128-multiple width
+        # cheap configs should reach the checkpoint before a timeout.
+        # Lane-padded width (480x720 -> wp 768) across the num_ac/delta
+        # grid, not just one config (r4 VERDICT weak item).
+        configs = []
+        for num_ac in (1, 10, 63):
+            configs.append((4, 480, 720, num_ac, [1.0, 20.0, 100.0], "wire"))
+        configs.append((4, 480, 720, 10, [12.0, 20.0], "fast"))
         for (b, h, w) in [(4, 1080, 1920), (2, 2160, 3840)]:
             for num_ac in (1, 10, 63):
-                configs.append((b, h, w, num_ac, [1.0, 20.0, 100.0]))
+                configs.append((b, h, w, num_ac, [1.0, 20.0, 100.0], "wire"))
+        # 'fast' mode's documented envelope is delta >= 12 (config guard);
+        # sweep its floor, the default, and the robust ceiling on-chip,
+        # plus sub-envelope deltas recorded (not asserted) for calibration
+        configs.append((4, 1080, 1920, 10, [8.0, 12.0, 20.0, 50.0], "fast"))
+        configs.append((2, 2160, 3840, 10, [12.0, 20.0], "fast"))
 
     # resumable across tunnel stalls: completed configs persist in the
     # artifact and are skipped on re-run (the jit cache makes their
@@ -87,20 +99,21 @@ def main() -> None:
             rows = [r for r in rows if r.get("backend") == backend]
         except (ValueError, KeyError):
             rows = []
-    done = {(r["h"], r["w"], r["num_ac"], r["delta"]) for r in rows}
+    done = {(r["h"], r["w"], r["num_ac"], r["delta"],
+             r.get("precision", "wire")) for r in rows}
 
     def flush(rows):
         out_path.write_text(json.dumps(
             {"summary": {"backend": backend, "partial": True}, "rows": rows},
             indent=1) + "\n")
 
-    for (b, h, w, num_ac, deltas) in configs:
-        todo = [d for d in deltas if (h, w, num_ac, d) not in done]
+    for (b, h, w, num_ac, deltas, precision) in configs:
+        todo = [d for d in deltas if (h, w, num_ac, d, precision) not in done]
         if not todo:
             continue
-        print(f"# config b={b} {w}x{h} num_ac={num_ac} (backend={backend})",
-              file=sys.stderr, flush=True)
-        new = check_config(b, h, w, num_ac, todo, rng)
+        print(f"# config b={b} {w}x{h} num_ac={num_ac} precision={precision}"
+              f" (backend={backend})", file=sys.stderr, flush=True)
+        new = check_config(b, h, w, num_ac, todo, rng, precision=precision)
         for r in new:
             r["backend"] = backend
         rows.extend(new)
