@@ -410,7 +410,7 @@ def _idct2_sparse(dy, pve_bf, bhi_bf, w):
 
 
 def _qim_valid_compact(total, offset, *, stripe, w, w_real, num_ac, cap, rn,
-                       rp):
+                       rp, frame=None):
     """Per-slot validity on the compact (rows_pad, W) grid, from iota + SMEM
     scalars — no materialized plane.
 
@@ -422,10 +422,14 @@ def _qim_valid_compact(total, offset, *, stripe, w, w_real, num_ac, cap, rn,
     the unpadded frame exactly. Sublane padding rows (k >= (S/8)*rn) may
     spuriously test valid — harmless: the expansion matrix's zero columns
     annihilate their delta, and extraction slices them away.
+
+    frame: the batch frame index; defaults to grid dim 0 (the standard
+    one-frame-per-step kernels). Multi-frame-per-step variants pass it
+    explicitly (benchmarks/dualchain_r5.py).
     """
     bh_s = stripe // BLOCK
     bw = w_real // BLOCK
-    f = pl.program_id(0)
+    f = pl.program_id(0) if frame is None else frame
     jg = pl.program_id(1)
     k = jax.lax.broadcasted_iota(jnp.int32, (rp, w), 0)
     x = jax.lax.broadcasted_iota(jnp.int32, (rp, w), 1)
