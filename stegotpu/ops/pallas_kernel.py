@@ -253,14 +253,25 @@ def packed_rows_to_bits_host(packed: np.ndarray, h: int, w: int, num_ac: int,
     (tests/test_pallas_kernel.py). Reference loop being matched: it too
     reads only as many frames as the payload needs
     (extract_process.py:55-86,173-182).
+
+    Accepts a STRIPE-GROUP PREFIX: an array whose row dim covers only the
+    first g <= H/stripe groups (g inferred from the shape) unpacks to the
+    first g * (stripe/8)*(W/8)*num_ac wire bits of each frame — the unit
+    the pipeline's sliced device readback ships (pipeline._PackedBitBuf).
     """
     b = packed.shape[0]
-    bh, bw = h // BLOCK, w // BLOCK
+    bw = w // BLOCK
     rn = rows_per_block(num_ac)
     bh_s = stripe // BLOCK
     rp = _rows_pad(stripe, rn)
-    r = packed.reshape(b, h // stripe, rp, bw)[:, :, : bh_s * rn]
-    r = np.ascontiguousarray(r).reshape(b, bh, rn, bw, 1)
+    if packed.shape[1] % rp:
+        raise ValueError(
+            f"packed rows dim {packed.shape[1]} is not a multiple of the "
+            f"per-stripe-group chunk {rp}"
+        )
+    g = packed.shape[1] // rp  # stripe groups present (full frame or prefix)
+    r = packed.reshape(b, g, rp, bw)[:, :, : bh_s * rn]
+    r = np.ascontiguousarray(r).reshape(b, g * bh_s, rn, bw, 1)
     shifts = np.arange(BLOCK, dtype=np.uint8)
     bits = (r >> shifts) & np.uint8(1)        # (b, bh, rn, bw, 8)
     parts = [

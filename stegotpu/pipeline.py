@@ -419,6 +419,115 @@ def _embed_payload(
                        frames_seen, first_orig, first_stego, residual_total)
 
 
+class _EagerBitBuf:
+    """Wire-order bit collector with immediate device readback (mesh and
+    XLA paths: their extract output IS the wire-order bit plane, so there
+    is nothing to defer)."""
+
+    def __init__(self, to_bits, timer=None):
+        self._to_bits = to_bits
+        self._timer = timer
+        self._parts: list[np.ndarray] = []
+        self.capacity_bits = 0  # bits materializable from ingested batches
+        self.frames = 0
+
+    def add(self, n: int, dev, eager_frames: int | None = None) -> None:
+        with _stage(self._timer, "device_readback"):
+            bits = self._to_bits(dev, n)
+        self._parts.append(bits)
+        self.capacity_bits += bits.size
+        self.frames += n
+
+    def bits(self, k: int | None = None) -> np.ndarray:
+        if not self._parts:
+            return np.zeros(0, np.uint8)
+        if len(self._parts) > 1:
+            self._parts[:] = [np.concatenate(self._parts)]
+        return self._parts[0]
+
+
+class _PackedBitBuf:
+    """Lazy collector over the Pallas packed-compact-rows extract output.
+
+    Retains each batch's device array and reads back only the (frame,
+    stripe-group) prefix that the requested bit count spans — the sliced
+    readback ships `ceil(bits/spg)` groups of `rows_pad x W/8` bytes
+    instead of the batch's full rows. A typical payload (header + small
+    secret, one stripe group of one 1080p frame) moves ~8 KB over the
+    host link instead of ~540 KB for an 8-frame batch. Wire order is
+    frame-major then stripe-group-major, so a group prefix is a strict
+    bit-stream prefix (ops/pallas_kernel.packed_rows_to_bits_host).
+
+    `eager_frames` on add() keeps the bulk phase's readback/compute
+    overlap: frames known to be fully inside the payload are read back
+    immediately (one-deep pipelined by the caller), and only the final
+    partial frame waits for the closing bits(total) slice.
+    """
+
+    def __init__(self, h: int, w: int, num_ac: int, stripe: int, timer=None):
+        from stegotpu.ops.pallas_kernel import (_rows_pad,
+                                                packed_rows_to_bits_host,
+                                                rows_per_block)
+
+        self._unpack = packed_rows_to_bits_host
+        self._h, self._w, self._num_ac, self._stripe = h, w, num_ac, stripe
+        self._rp = _rows_pad(stripe, rows_per_block(num_ac))
+        self._gpf = h // stripe                       # stripe groups / frame
+        self._cap = (h // 8) * (w // 8) * num_ac      # wire bits / frame
+        self._spg = self._cap // self._gpf            # wire bits / group
+        self._timer = timer
+        self._items: list[dict] = []  # {'n','dev','groups','chunks'}
+        self.capacity_bits = 0
+        self.frames = 0
+
+    def add(self, n: int, dev, eager_frames: int = 0) -> None:
+        item = {"n": n, "dev": dev, "groups": 0, "chunks": []}
+        self._items.append(item)
+        self.capacity_bits += n * self._cap
+        self.frames += n
+        if eager_frames > 0:
+            self._materialize(item, min(eager_frames, n) * self._gpf)
+
+    def _materialize(self, item: dict, groups: int) -> None:
+        groups = min(groups, item["n"] * self._gpf)
+        if groups <= item["groups"]:
+            return
+        # growth re-reads the whole prefix: it happens at most a couple of
+        # times per extract and the superseded read was no larger than this
+        full, part = divmod(groups, self._gpf)
+        chunks: list[np.ndarray] = []
+        with _stage(self._timer, "device_readback"):
+            if full:
+                chunks.append(
+                    self._unpack(np.asarray(item["dev"][:full]), self._h,
+                                 self._w, self._num_ac,
+                                 self._stripe).reshape(-1))
+            if part:
+                rows = np.asarray(item["dev"][full, : part * self._rp])
+                chunks.append(
+                    self._unpack(rows[None], self._h, self._w, self._num_ac,
+                                 self._stripe).reshape(-1))
+        item["chunks"] = chunks
+        item["groups"] = groups
+        if groups == item["n"] * self._gpf:
+            item["dev"] = None  # fully read back: release the device array
+
+    def bits(self, k: int | None = None) -> np.ndarray:
+        """First >= min(k, capacity) wire bits (rounded up to a stripe
+        group), reading back only what the prefix spans."""
+        remaining = self.capacity_bits if k is None else min(
+            k, self.capacity_bits)
+        for item in self._items:
+            take = min(remaining, item["n"] * self._cap)
+            if take > 0:
+                self._materialize(item, -(-take // self._spg))
+            remaining -= take
+        parts = [c for item in self._items for c in item["chunks"]]
+        if not parts:
+            return np.zeros(0, np.uint8)
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
 def extract_image_from_video(
     stego_video: str | Path,
     receiver_private,
@@ -436,8 +545,10 @@ def extract_image_from_video(
     batched equivalent of the reference's read-until-enough loop
     (extract_process.py:55-86,173-182). On the Pallas path the device
     ships bit-packed compact rows (no full-capacity wire-order unpack
-    pass, ~5x smaller readback) and the host unpacks in numpy
-    (ops/pallas_kernel.packed_rows_to_bits_host).
+    pass) and the host reads back ONLY the (frame, stripe-group) prefix
+    the payload spans before unpacking in numpy (_PackedBitBuf /
+    ops/pallas_kernel.packed_rows_to_bits_host) — a typical sub-frame
+    payload moves ~8 KB instead of an 8-frame batch's ~540 KB at 1080p.
 
     timer: optional utils.profiling.StageTimer (see embed_image_in_video).
     mesh: optional ('data', 'space') mesh (see embed_image_in_video) —
@@ -463,28 +574,24 @@ def extract_image_from_video(
             def run_extract(gray):
                 return sharded(jnp.asarray(gray), delta)
 
-            def to_bits(dev, n):
-                return np.asarray(dev)[:n].reshape(-1)
+            buf = _EagerBitBuf(lambda dev, n: np.asarray(dev)[:n].reshape(-1),
+                               timer)
         else:
             packed = extract_packed_fn(config.kernel, h8, w8,
                                        config.qim_precision)
             if packed is not None:
                 # Pallas fast path: the device ships bit-PACKED compact rows
-                # (~5x smaller readback) and never runs the full-capacity
-                # wire-order unpack pass; the host unpacks in numpy.
-                from stegotpu.ops.pallas_kernel import (
-                    packed_rows_to_bits_host, pick_stripe)
-
-                stripe = pick_stripe(h8)
+                # and never runs the full-capacity wire-order unpack pass;
+                # the host reads back only the (frame, stripe-group) prefix
+                # the payload spans and unpacks in numpy (_PackedBitBuf).
+                from stegotpu.ops.pallas_kernel import pick_stripe
 
                 def run_extract(gray):
                     return packed(jnp.asarray(gray), delta,
                                   config.num_ac_coeffs)
 
-                def to_bits(dev, n):
-                    return packed_rows_to_bits_host(
-                        np.asarray(dev)[:n], h8, w8, config.num_ac_coeffs,
-                        stripe).reshape(-1)
+                buf = _PackedBitBuf(h8, w8, config.num_ac_coeffs,
+                                    pick_stripe(h8), timer)
             else:
                 def run_extract(gray):
                     return extract_fn(config.kernel, h8, w8,
@@ -492,8 +599,8 @@ def extract_image_from_video(
                         jnp.asarray(gray), delta, config.num_ac_coeffs
                     )
 
-                def to_bits(dev, n):
-                    return np.asarray(dev)[:n].reshape(-1)
+                buf = _EagerBitBuf(
+                    lambda dev, n: np.asarray(dev)[:n].reshape(-1), timer)
 
         # Two phases (reference: reads only until enough bits accumulate,
         # extract_process.py:55-86,173-182 — the batched equivalent):
@@ -504,26 +611,30 @@ def extract_image_from_video(
         #      exactly ceil(total/cap) frames, and the one-deep device
         #      pipeline + Prefetcher overlap decode with device compute.
         # Net: exactly max(batch_frames, payload_frames) frames decoded.
-        collected: list[np.ndarray] = []
-        collected_bits = 0
         frames_read = 0
         needed = payload_mod.FIXED_HEADER_BITS  # lower bound, grows as parsed
         total_bits: int | None = None           # exact once header parses
         parts = None
         parse_error: str | None = None
 
-        def buf_bits() -> np.ndarray:
-            if len(collected) > 1:
-                collected[:] = [np.concatenate(collected)]
-            return collected[0]
-
-        def ingest(item) -> None:
-            nonlocal collected_bits
-            n, dev = item
-            with _stage(timer, "device_readback"):
-                bits = to_bits(dev, n)
-            collected.append(bits)
-            collected_bits += bits.size
+        def try_parse_header() -> bool:
+            """Attempt the header parse on the current buffer; True when the
+            phase-1 loop should stop (parsed or hard error). NeedMoreBits may
+            be satisfiable from bits already sitting on device — grow the
+            materialized prefix before deciding more frames are required."""
+            nonlocal needed, total_bits, parse_error
+            while buf.capacity_bits >= needed:
+                try:
+                    _hdr, ct_len, hdr_pos = parse_header_bits(
+                        buf.bits(needed), config.dims_bits)
+                    total_bits = hdr_pos + 8 * ct_len
+                    return True
+                except NeedMoreBits as e:
+                    needed = e.needed  # strictly grows: terminates
+                except ValueError as e:
+                    parse_error = str(e)
+                    return True
+            return False
 
         budget = FrameBudget()
         gen = reader.batches(batch_frames, mode="gray", budget=budget)
@@ -546,27 +657,28 @@ def extract_image_from_video(
                     )
                 with _stage(timer, "device_dispatch"):
                     dev = run_extract(gray)
-                ingest((n, dev))
-                log.debug("extract progress: %d bits collected, frame %d",
-                          collected_bits, frames_read)
-                if collected_bits < needed:
-                    continue
-                try:
-                    _hdr, ct_len, hdr_pos = parse_header_bits(
-                        buf_bits(), config.dims_bits)
-                    total_bits = hdr_pos + 8 * ct_len
-                    break
-                except NeedMoreBits as e:
-                    needed = e.needed  # header spans more frames
-                except ValueError as e:
-                    parse_error = str(e)
+                buf.add(n, dev)
+                log.debug("extract progress: %d bits buffered, frame %d",
+                          buf.capacity_bits, frames_read)
+                if try_parse_header():
                     break
 
             if parse_error is None and total_bits is not None \
-                    and collected_bits < total_bits:
+                    and buf.capacity_bits < total_bits:
                 # phase 2: decode EXACTLY the frames the payload spans
                 budget.limit = -(-total_bits // cap_bits)
+                full_frames = total_bits // cap_bits  # fully-needed frames
                 pending: tuple | None = None  # (n, device_result)
+
+                def ingest(item) -> None:
+                    # frames wholly inside the payload read back eagerly
+                    # (one-deep overlap with the next batch's compute); the
+                    # final partial frame waits for the closing bits(total)
+                    n_, dev_ = item
+                    buf.add(n_, dev_,
+                            eager_frames=max(0, min(n_,
+                                                    full_frames - buf.frames)))
+
                 with Prefetcher.maybe(gen) as prefetched:
                     for gray in _timed_iter(prefetched, timer, "decode_wait"):
                         n = gray.shape[0]
@@ -582,8 +694,8 @@ def extract_image_from_video(
                         if pending is not None:
                             ingest(pending)
                         pending = (n, dev)
-                        log.debug("extract progress: %d bits collected, "
-                                  "frame %d", collected_bits, frames_read)
+                        log.debug("extract progress: %d bits buffered, "
+                                  "frame %d", buf.capacity_bits, frames_read)
                     if pending is not None:
                         ingest(pending)
         except OSError as e:
@@ -591,9 +703,9 @@ def extract_image_from_video(
             return ExtractResult(False, error=f"video read failed: {e}",
                                  frames_read=frames_read)
         if parse_error is None and total_bits is not None \
-                and collected_bits >= total_bits:
+                and buf.capacity_bits >= total_bits:
             try:
-                parts, _consumed = parse_payload_bits(buf_bits(),
+                parts, _consumed = parse_payload_bits(buf.bits(total_bits),
                                                       config.dims_bits)
             except NeedMoreBits:  # pragma: no cover - total_bits is exact
                 pass
@@ -605,7 +717,8 @@ def extract_image_from_video(
         if parts is None:
             return ExtractResult(
                 False,
-                error=f"video ended before payload complete ({collected_bits} bits read)",
+                error="video ended before payload complete "
+                      f"({buf.capacity_bits} bits read)",
                 frames_read=frames_read,
             )
 

@@ -270,3 +270,32 @@ def test_extract_packed_host_path_end_to_end(rng):
                 precision=precision))
             host = packed_rows_to_bits_host(pk, h, w, num_ac, pick_stripe(h))
             np.testing.assert_array_equal(wire, host)
+
+
+def test_packed_rows_to_bits_host_group_prefix(rng):
+    """A stripe-group PREFIX of the packed rows unpacks to exactly the
+    corresponding wire-bit prefix — the contract behind the pipeline's
+    sliced device readback (_PackedBitBuf)."""
+    from stegotpu.ops.pallas_kernel import (
+        _rows_pad,
+        packed_rows_to_bits_host,
+        rows_per_block,
+    )
+
+    for (h, w, num_ac) in [(128, 256, 10), (120, 384, 3), (240, 160, 2),
+                           (64, 128, 63)]:
+        stripe = pick_stripe(h)
+        rp = _rows_pad(stripe, rows_per_block(num_ac))
+        gpf = h // stripe
+        spg = (h // 8) * (w // 8) * num_ac // gpf
+        packed = rng.integers(0, 256, (2, gpf * rp, w // 8), dtype=np.uint8)
+        full = packed_rows_to_bits_host(packed, h, w, num_ac, stripe)
+        for g in (1, gpf // 2, gpf):
+            if g == 0:
+                continue
+            pref = packed_rows_to_bits_host(packed[:, : g * rp], h, w,
+                                            num_ac, stripe)
+            np.testing.assert_array_equal(pref, full[:, : g * spg])
+        with pytest.raises(ValueError):
+            packed_rows_to_bits_host(packed[:, : rp - 1], h, w, num_ac,
+                                     stripe)

@@ -257,3 +257,73 @@ def test_extract_single_batch_payload(media, keys, tmp_path):
     ext = extract_image_from_video(res.output_path, priv, cfg, batch_frames=4)
     assert ext.success, ext.error
     assert ext.frames_read == 4  # one batch, though the video has 12 frames
+
+
+def test_packed_bit_buf_sliced_readback(rng):
+    """_PackedBitBuf materializes a group-rounded PREFIX of the wire bit
+    stream, reading back only the (frame, stripe-group) span the request
+    covers — including mid-group and mid-frame bit counts, growth across
+    repeated calls, and multi-batch buffers."""
+    import jax.numpy as jnp
+
+    from stegotpu.ops.pallas_kernel import (_rows_pad,
+                                            packed_rows_to_bits_host,
+                                            pick_stripe, rows_per_block)
+    from stegotpu.pipeline import _PackedBitBuf
+
+    h, w, num_ac = 240, 160, 2
+    stripe = pick_stripe(h)                    # 120 -> 2 groups/frame
+    rp = _rows_pad(stripe, rows_per_block(num_ac))
+    gpf = h // stripe
+    cap = (h // 8) * (w // 8) * num_ac
+    spg = cap // gpf
+    rng_ = rng
+    batches = [3, 2]
+    devs = [rng_.integers(0, 256, (n, gpf * rp, w // 8), dtype=np.uint8)
+            for n in batches]
+    expected = np.concatenate(
+        [packed_rows_to_bits_host(d, h, w, num_ac, stripe).reshape(-1)
+         for d in devs])
+
+    buf = _PackedBitBuf(h, w, num_ac, stripe)
+    for n, d in zip(batches, devs):
+        buf.add(n, jnp.asarray(d))
+    assert buf.capacity_bits == 5 * cap
+    for k in [1, spg - 1, spg, spg + 1, cap + 7, 3 * cap + spg + 13,
+              5 * cap]:
+        got = buf.bits(k)
+        assert got.size >= min(k, buf.capacity_bits)
+        assert got.size % spg == 0
+        np.testing.assert_array_equal(got, expected[: got.size])
+    np.testing.assert_array_equal(buf.bits(10 ** 9), expected)
+    np.testing.assert_array_equal(buf.bits(None), expected)
+
+
+def test_packed_bit_buf_eager_frames(rng):
+    """eager_frames reads back those frames' full rows at add() time (the
+    bulk phase's overlap path) and releases the device array once a batch
+    is fully materialized."""
+    import jax.numpy as jnp
+
+    from stegotpu.ops.pallas_kernel import (_rows_pad,
+                                            packed_rows_to_bits_host,
+                                            pick_stripe, rows_per_block)
+    from stegotpu.pipeline import _PackedBitBuf
+
+    h, w, num_ac = 240, 160, 2
+    stripe = pick_stripe(h)
+    rp = _rows_pad(stripe, rows_per_block(num_ac))
+    gpf = h // stripe
+    dev = rng.integers(0, 256, (4, gpf * rp, w // 8), dtype=np.uint8)
+    expected = packed_rows_to_bits_host(dev, h, w, num_ac,
+                                        stripe).reshape(-1)
+
+    buf = _PackedBitBuf(h, w, num_ac, stripe)
+    buf.add(4, jnp.asarray(dev), eager_frames=4)
+    assert buf._items[0]["dev"] is None        # fully read back: released
+    np.testing.assert_array_equal(buf.bits(None), expected)
+
+    buf2 = _PackedBitBuf(h, w, num_ac, stripe)
+    buf2.add(4, jnp.asarray(dev), eager_frames=2)
+    assert buf2._items[0]["dev"] is not None   # tail still on device
+    np.testing.assert_array_equal(buf2.bits(None), expected)
