@@ -8,12 +8,20 @@ single jit (each iteration's stego feeds the next embed AND its extracted
 wire-order bits feed the next payload, via lax.fori_loop) and forcing one
 scalar device->host readback at the end — the double dependency chain makes
 the device execute every stage of every iteration for real (embed, extract,
-and both payload layout passes; nothing is dead-code-eliminable), and
-dispatch/relay latency amortizes out. NOTE: round 1's chain depended only on
-the stego output, which let XLA eliminate the extract half entirely — its
-9,841.7 fps (BENCH_r01) is an embed-only number; the same methodology now
-measures 18.4k fps, so the r01->r02 delta understates the real kernel
-speedup.
+and both payload layout passes; nothing is dead-code-eliminable). NOTE:
+round 1's chain depended only on the stego output, which let XLA eliminate
+the extract half entirely — its 9,841.7 fps (BENCH_r01) is an embed-only
+number.
+
+Round-5 correction: the device profiler (tools/device_roofline.py) proved a
+single chained call still carries a FIXED ~20-25 ms dispatch+readback
+overhead through the relay, which at chain=10 inflated every per-iteration
+number by ~2-2.5 ms (batch 128) — rounds 2-4's headlines UNDERSTATE device
+throughput by ~25-35%. The headline is therefore now the two-point chain
+fit: wall(K2) - wall(K1) over K2-K1 iterations cancels the fixed overhead
+exactly and matches the device timeline's per-iteration period (verified
+against the XPlane trace, docs/TUNING.md round 5). The old single-wall
+chain=10 figure rides along as "fps_wall10" for cross-round comparability.
 
 The reference publishes no numbers (BASELINE.md): its scalar Python loop is
 far below real time. vs_baseline is therefore reported against the
@@ -30,11 +38,12 @@ import numpy as np
 
 NORTH_STAR_FPS = 2000.0
 
-# measured u8 streaming ceiling of this chip+runtime (docs/TUNING.md:160-173:
-# pure-copy Pallas sweeps plateau at ~110-115 GB/s for u8; plain XLA
-# elementwise reaches 144 — narrow-dtype streaming sits far below HBM spec
-# everywhere, so 115 is the honest kernel-reachable ceiling)
-U8_CEILING_GBPS = 115.0
+# DEVICE-measured u8 streaming ceiling of this chip: the pure-copy Pallas
+# kernel's per-iteration period on the device timeline is 1.69 ms/128
+# frames = 314.7 GB/s (tools/device_roofline.py, r5). The old 110-115 GB/s
+# figure was the same kernel seen through the relay's fixed per-call wall
+# overhead (docs/TUNING.md round 5).
+U8_CEILING_GBPS = 315.0
 
 
 def chain_bytes_per_frame(h: int, w: int, n_ac: int) -> int:
@@ -119,7 +128,8 @@ def main() -> None:
         )
         assert exactness_ok, "on-chip kernel exactness check FAILED"
 
-    def measure(prec: str) -> float:
+    def wall(prec: str, k: int, reps: int = 3) -> float:
+        """Best-of-reps wall seconds for one chained call of k iterations."""
         @jax.jit
         def chained(f, p):
             def body(_, carry):
@@ -127,16 +137,73 @@ def main() -> None:
                 s, _, e = embed_and_extract_frames(fr, pl_, total, dlt,
                                                    n_ac, prec)
                 return s, e  # extracted bits are the NEXT payload: live
-            out, bits = jax.lax.fori_loop(0, k_chain, body, (f, p))
+            out, bits = jax.lax.fori_loop(0, k, body, (f, p))
             return (jnp.sum(out, dtype=jnp.int32)
                     + jnp.sum(bits, dtype=jnp.int32))
 
         _ = float(chained(frames, payload))  # compile + warmup
-        t0 = time.perf_counter()
-        _ = float(chained(frames, payload))
-        return b * k_chain / (time.perf_counter() - t0)
+        best = float("inf")
+        for _i in range(reps):
+            t0 = time.perf_counter()
+            _ = float(chained(frames, payload))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    fps = measure(precision)
+    K1, K2 = 5, 25
+
+    def measure(prec: str) -> tuple[float, float]:
+        """(steady-state fps via the two-point fit, legacy chain-10 fps)."""
+        t1 = wall(prec, K1)
+        t2 = wall(prec, K2)
+        slope = (t2 - t1) / (K2 - K1)   # s/iter, fixed overhead cancelled
+        t10 = wall(prec, k_chain, reps=1)
+        fps_wall10 = b * k_chain / t10
+        if slope <= 0:  # relay hiccup mid-fit: fall back to the old method
+            return fps_wall10, fps_wall10
+        return b / slope, fps_wall10
+
+    fps, fps_wall10 = measure(precision)
+
+    def kernel_chain_fps(prec: str) -> float:
+        """Slope-fit fps of the KERNEL-ONLY chain (stego is the carry;
+        payload rows prebuilt and passed as an arg — baked-in constants
+        overflow the relay's remote-compile size limit). This is the
+        device cost of the fused pallas call + the loop-carry copy,
+        without the full-capacity wire-order unpack / payload re-pack the
+        headline chain includes — i.e. the scope the SHIPPED extract path
+        actually runs, since r5's sliced packed-rows readback does wire
+        unpacking on the host (docs/TUNING.md round 5). Matches the device
+        timeline's 23.2k fps (tools/device_roofline.py)."""
+        from stegotpu.ops.pallas_kernel import (
+            embed_and_extract_frames_pallas_rows_packed as rt_rows,
+            payload_to_rows,
+            pick_stripe,
+        )
+
+        rows = jax.device_put(
+            payload_to_rows(payload, h, w, n_ac, pick_stripe(h)))
+
+        def wall_k(k: int) -> float:
+            @jax.jit
+            def chained(f, r):
+                def body(_, fr):
+                    s, _p = rt_rows(fr, r, total, dlt, n_ac, prec)
+                    return s
+                out = jax.lax.fori_loop(0, k, body, f)
+                return jnp.sum(out, dtype=jnp.int32)
+
+            _ = float(chained(frames, rows))
+            best = float("inf")
+            for _i in range(3):
+                t0 = time.perf_counter()
+                _ = float(chained(frames, rows))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        slope = (wall_k(K2) - wall_k(K1)) / (K2 - K1)
+        return b / slope if slope > 0 else float("nan")
+
+    fps_kernel = kernel_chain_fps(precision)
     gbps = fps * chain_bytes_per_frame(h, w, n_ac) / 1e9
     row = {
         "metric": "1080p_embed_extract_fps_per_chip"
@@ -147,12 +214,14 @@ def main() -> None:
         "vs_baseline": round(fps / NORTH_STAR_FPS, 3),
         "gbps": round(gbps, 1),
         "pct_u8_ceiling": round(100 * gbps / U8_CEILING_GBPS, 1),
+        "fps_wall10": round(fps_wall10, 1),
+        "fps_kernel_chain": round(fps_kernel, 1),
         "exactness_ok": exactness_ok,
     }
     if precision == "wire":
         # the opt-in TPU-local mode's figure rides along so the artifact
         # carries both honest numbers (docs/TUNING.md round 4)
-        row["fastmode_fps"] = round(measure("fast"), 1)
+        row["fastmode_fps"] = round(measure("fast")[0], 1)
     print(json.dumps(row))
 
 

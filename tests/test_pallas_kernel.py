@@ -146,6 +146,36 @@ def test_packed_extract_matches_unpacked(rng):
         np.testing.assert_array_equal(np.asarray(bpf1), np.asarray(bpf2))
 
 
+def test_rows_level_roundtrip_matches_bits_level(rng):
+    """The rows-level public entry (prebuilt compact rows in, packed rows
+    out — benchmark.py's kernel-only chain scope) must be bit-identical to
+    the bits-level fused path, incl. at a lane-padded width."""
+    import jax.numpy as jnp
+
+    from stegotpu.ops.pallas_kernel import (
+        embed_and_extract_frames_pallas_packed,
+        embed_and_extract_frames_pallas_rows_packed,
+        packed_rows_to_bits,
+        payload_to_rows,
+        pick_stripe,
+    )
+
+    for (h, w, num_ac) in [(128, 256, 10), (120, 720, 7)]:
+        frames = rng.integers(0, 256, (3, h, w), dtype=np.uint8)
+        cap = (h // 8) * (w // 8) * num_ac
+        payload = rng.integers(0, 2, (3, cap), dtype=np.uint8)
+        total = int(cap * 2 + 123)
+        stripe = pick_stripe(h)
+        rows = payload_to_rows(jnp.asarray(payload), h, w, num_ac, stripe)
+        s1, pk = embed_and_extract_frames_pallas_rows_packed(
+            jnp.asarray(frames), rows, total, 20.0, num_ac)
+        e1 = packed_rows_to_bits(pk, h, w, num_ac, stripe)
+        s2, _, e2 = embed_and_extract_frames_pallas_packed(
+            frames, payload, total, 20.0, num_ac)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
 @pytest.mark.parametrize("h,w", [(48, 80), (48, 336), (120, 720)])
 def test_pallas_nonlane_width(rng, h, w):
     """Non-128-multiple widths (the r3 VERDICT gap: 720x480, 1366x768-

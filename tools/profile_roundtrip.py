@@ -27,6 +27,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--chain", type=int, default=0,
+                    help="chain N data-dependent roundtrips inside ONE jit "
+                         "(the bench methodology) instead of single steps")
     ap.add_argument("--out", default=str(REPO / "benchmarks" / "traces"
                                          / "roundtrip"))
     args = ap.parse_args()
@@ -48,11 +51,21 @@ def main() -> None:
     total = jnp.int32(b * cap)
     dlt = jnp.float32(20.0)
 
-    @jax.jit
-    def step(f, p):
-        s, _, e = embed_and_extract_frames_pallas_packed(f, p, total, dlt,
-                                                         n_ac)
-        return jnp.sum(s, dtype=jnp.int32) + jnp.sum(e, dtype=jnp.int32)
+    if args.chain:
+        @jax.jit
+        def step(f, p):
+            def body(_i, fr):
+                s, _bpf, _e = embed_and_extract_frames_pallas_packed(
+                    fr, p, total, dlt, n_ac)
+                return s  # loop-carried stego, the roofline chain
+            out = jax.lax.fori_loop(0, args.chain, body, f)
+            return jnp.sum(out, dtype=jnp.int32)
+    else:
+        @jax.jit
+        def step(f, p):
+            s, _, e = embed_and_extract_frames_pallas_packed(f, p, total,
+                                                             dlt, n_ac)
+            return jnp.sum(s, dtype=jnp.int32) + jnp.sum(e, dtype=jnp.int32)
 
     _ = float(step(frames, payload))  # compile + warm outside the trace
 
