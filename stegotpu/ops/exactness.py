@@ -26,15 +26,18 @@ Policy (what "exact" means between two f32 kernels):
   (the pack matmul is exact small-integer arithmetic): zero tolerance.
 - the fused roundtrip's extracted bits must equal extracting its own stego
   with the standalone kernel: zero tolerance.
-- on ROBUST parameter pairs (8 <= delta <= 50, num_ac <= 30), BOTH
+- on ROBUST parameter pairs (8 <= delta <= 30, num_ac <= 30), BOTH
   kernels must recover the payload within the documented algorithmic
   clipping bound (BER <= 1e-5 on uniform-random covers; measured ~1e-6 at
-  delta=20 — stegotpu/benchmark.py). Non-robust pairs (delta=1, delta=100,
-  num_ac=63) lose bits to clipping/requantization in the ALGORITHM (the
-  reference does too; delta=100 perturbs pixels by +-50, clipping ~4e-4 of
-  slots on random covers): their error counts are recorded, not asserted,
-  and differ slightly between kernels because clipped coefficients land
-  near boundaries.
+  delta=20 — stegotpu/benchmark.py). Larger deltas lose bits to clipping
+  in the ALGORITHM — the r5 on-chip calibration (1080p, 1.3M bits,
+  IDENTICAL counts in the Pallas kernel and the f32 XLA oracle) measured
+  the tail at 7.7e-7 (delta 24-30), 5.4e-6 (32), 6.9e-6 (36), 1.54e-5
+  (40), 1.5e-5 (50), ~4e-4 (100): the 1e-5 crossing sits between 36 and
+  40, and Poisson noise on ~10-count samples makes 32-36 a flaky assert,
+  so the asserted ceiling is 30. Non-robust pairs (delta=1, delta > 30,
+  num_ac=63) are recorded, not asserted, and differ slightly between
+  kernels because clipped coefficients land near boundaries.
 - the verified-embed fused check kernel (_embed_and_check_frames_pallas,
   the --verified fast path) must emit stego BIT-IDENTICAL to the plain
   embed kernel and an error count EQUAL to a standalone re-extract's count
@@ -89,13 +92,15 @@ EXACT_KEYS = [
 
 
 def is_robust(delta: float, num_ac: int, precision: str = "wire") -> bool:
-    """The BER<=1e-5 parameter envelope. delta > 50 is excluded: +-delta/2
+    """The BER<=1e-5 parameter envelope. delta > 30 is excluded: +-delta/2
     pixel-domain perturbations clip at 0/255 often enough on random covers
-    to lose ~4e-4 of slots (the algorithm's loss, both kernels equally).
-    'fast' mode's envelope starts at its config-enforced delta >= 12
-    (config.py qim_precision guard)."""
+    to approach/exceed the bound (on-chip calibration in the module
+    docstring: 1e-5 crossing between delta 36 and 40, identical in the f32
+    XLA oracle and the Pallas kernel — the algorithm's loss, not the
+    kernel's). 'fast' mode's envelope starts at its config-enforced
+    delta >= 12 (config.py qim_precision guard)."""
     lo = 12 if precision == "fast" else 8
-    return lo <= delta <= 50 and num_ac <= 30
+    return lo <= delta <= 30 and num_ac <= 30
 
 
 def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,

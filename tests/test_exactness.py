@@ -22,3 +22,15 @@ def test_fast_robust_floor_is_its_config_guard():
     assert is_robust(8, 10, "wire") and not is_robust(8, 10, "fast")
     assert is_robust(12, 10, "fast") and is_robust(20, 10, "fast")
     assert not is_robust(100, 10, "fast")
+
+
+def test_robust_ceiling_excludes_large_deltas():
+    """The r5 on-chip calibration measured the algorithmic clipping tail
+    crossing 1e-5 between delta 36 and 40 on uniform-random covers — with
+    IDENTICAL error counts in the Pallas kernel and the f32 XLA oracle —
+    and Poisson noise makes 32-36 a flaky assert, so the asserted envelope
+    stops at 30; larger deltas are recorded, not asserted."""
+    for prec in ("wire", "fast"):
+        assert is_robust(30, 10, prec)
+        assert not is_robust(40, 10, prec)
+        assert not is_robust(50, 10, prec)

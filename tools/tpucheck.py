@@ -80,11 +80,20 @@ def main() -> None:
         configs.append((4, 480, 720, 10, [12.0, 20.0], "fast"))
         for (b, h, w) in [(4, 1080, 1920), (2, 2160, 3840)]:
             for num_ac in (1, 10, 63):
-                configs.append((b, h, w, num_ac, [1.0, 20.0, 100.0], "wire"))
+                deltas = [1.0, 20.0, 100.0]
+                if num_ac == 10 and h == 1080:
+                    # robust-envelope edges (8 and 30) plus 40/50, which
+                    # the r5 calibration measured at/past the 1e-5
+                    # algorithmic clipping bound in both kernels (recorded,
+                    # not asserted — exactness.py is_robust); deltas are
+                    # traced so extra points reuse the compile
+                    deltas = [1.0, 8.0, 20.0, 30.0, 40.0, 50.0, 100.0]
+                configs.append((b, h, w, num_ac, deltas, "wire"))
         # 'fast' mode's documented envelope is delta >= 12 (config guard);
         # sweep its floor, the default, and the robust ceiling on-chip,
-        # plus sub-envelope deltas recorded (not asserted) for calibration
-        configs.append((4, 1080, 1920, 10, [8.0, 12.0, 20.0, 50.0], "fast"))
+        # plus out-of-envelope deltas recorded (not asserted) for calibration
+        configs.append((4, 1080, 1920, 10, [8.0, 12.0, 20.0, 30.0, 40.0,
+                                            50.0], "fast"))
         configs.append((2, 2160, 3840, 10, [12.0, 20.0], "fast"))
 
     # resumable across tunnel stalls: completed configs persist in the
