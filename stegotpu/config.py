@@ -58,7 +58,7 @@ class StegoConfig:
         and emit the stego anyway (residual is still reported).
     qim_precision: 'wire' (default) computes the Pallas DCT f32-faithfully
         so stego interoperates with the reference's scipy-f32 extractor at
-        the full delta/2 margin (docs/COMPATIBILITY.md, TPUCHECK_r04);
+        the full delta/2 margin (docs/COMPATIBILITY.md, TPUCHECK_r05);
         'fast' uses Mosaic's native single-pass-bf16 matmuls (~12% faster
         roundtrip on v5e) — stego coefficients drift ~2e-3 relative off
         the f32 lattice, so BOTH endpoints must run stegotpu-on-TPU and

@@ -1,7 +1,7 @@
 """On-device kernel exactness checks: compiled Pallas vs the XLA baseline.
 
 The library half of tools/tpucheck.py (which writes the committed
-TPUCHECK_r04.json artifact); `selftest` runs the quick single-config check
+TPUCHECK_r05.json artifact); `selftest` runs the quick single-config check
 whenever the backend is a real TPU, so every on-chip smoke run re-proves
 compiled-kernel bit-exactness, not just a BER bound.
 

@@ -368,7 +368,7 @@ def _horiz_inv_bf16() -> np.ndarray:
     basis-aligned bound) — 40x inside the delta/2 QIM margin at every
     delta, and the same order as uint8 pixel truncation. Measured
     on-chip: roundtrip BER stays 0 on the robust envelope and the
-    exactness sweep's boundary envelope still holds (TPUCHECK_r04)."""
+    exactness sweep's boundary envelope still holds (TPUCHECK_r05)."""
     return _bf16_hi_lo(_horiz_matrix(inverse=True))[0]
 
 

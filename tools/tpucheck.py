@@ -21,10 +21,10 @@ scalar counts cross the relay (bulk device->host transfers stall — see
 stegotpu/benchmark.py docstring). delta and total_bits are traced values,
 so the delta sweep and mid-block payload ends reuse each compile.
 
-Writes TPUCHECK_r04.json at the repo root (one row per config + a summary).
+Writes TPUCHECK_r05.json at the repo root (one row per config + a summary).
 Wire contract being pinned: reference config_and_setup.py:106-174.
 
-Usage: python tools/tpucheck.py [--quick] [--out TPUCHECK_r04.json]
+Usage: python tools/tpucheck.py [--quick] [--out TPUCHECK_r05.json]
 """
 
 from __future__ import annotations
