@@ -1,5 +1,12 @@
 """Round-4 roofline budget for the fused packed kernel (VERDICT item 1).
 
+[SUPERSEDED in round 5 for ABSOLUTE numbers: the wall-clock chain this
+tool uses carries a fixed ~20-25 ms/call relay overhead, so its ms/128
+figures are inflated — tools/device_roofline.py reuses these variants but
+reads the device timeline instead (u8 copy 314.7 GB/s, fused kernel
+4.66 ms/128, compute-bound). The knob-for-knob A/B comparisons below
+remain valid: both arms carry the same overhead. docs/TUNING.md round 5.]
+
 Question: is the 7.9ms/128-batch fused roundtrip's gap to the 5.8ms
 streaming floor imperfect compute/DMA overlap (fixable) or the cost of the
 kernel's actual DMA spec set (irreducible)? Three measurements at the

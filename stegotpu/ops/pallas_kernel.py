@@ -995,8 +995,11 @@ def embed_and_extract_frames_pallas(frames, payload_bits, total_bits, delta,
     structure the fused kernel wins (7.9 vs 11.3 ms/128-frame batch at
     1080p) — re-check per round in benchmarks/ab_kernels.py. Round 3: the
     bit-PACKED extract output wins the A/B and is the default. Round 4:
-    8.87 ms/128 with the f32-faithful arithmetic (docs/TUNING.md round-4
-    table decomposes it against the 4.85 ms DMA floor)."""
+    f32-faithful arithmetic (8.87 ms/128 by wall clock). Round 5: the
+    device timeline shows the true kernel time is 4.66 ms/128 — the wall
+    figures carried a fixed per-call relay overhead — and the kernel is
+    compute-bound at 5.4x its DMA floor, declared the single-chip optimum
+    of this structure (docs/TUNING.md round 5)."""
     return embed_and_extract_frames_pallas_packed(
         frames, payload_bits, total_bits, delta, num_ac, precision
     )
