@@ -20,7 +20,7 @@ compute path redesigned TPU-first:
 - PSNR/SSIM/BER run as jitted on-device reductions (``stegotpu.metrics``).
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from stegotpu.config import StegoConfig  # noqa: F401
 from stegotpu.pipeline import (  # noqa: F401
