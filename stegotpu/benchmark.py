@@ -205,8 +205,12 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        slope = (wall_k(K2) - wall_k(K1)) / (K2 - K1)
-        return b / slope if slope > 0 else float("nan")
+        t1, t2 = wall_k(K1), wall_k(K2)
+        slope = (t2 - t1) / (K2 - K1)
+        # relay hiccup (t2 <= t1): fall back to the single-wall figure,
+        # overhead included — a numeric underestimate, never NaN (NaN is
+        # not valid JSON and would corrupt the committed artifact line)
+        return b / slope if slope > 0 else b * K2 / t2
 
     fps_kernel = kernel_chain_fps(precision)
     gbps = fps * chain_bytes_per_frame(h, w, n_ac) / 1e9

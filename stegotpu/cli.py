@@ -200,6 +200,16 @@ def cmd_embed(args) -> int:
                   "(contains the ciphertext — protect like the stego)")
 
     procs, procs_mode, procs_active = _procs_requested(args)
+    if procs_active and procs == "auto" and (
+            frame_range is not None or getattr(args, "mesh", None)):
+        # 'auto' means "pick the best mode for this invocation" — with
+        # --frame-range/--mesh the segment cutter can't run, and the plain
+        # pipeline handles both, so auto resolves to it (an explicit
+        # --procs N>1 still conflicts loudly below)
+        print("note: --procs auto defers to the plain pipeline "
+              "(--frame-range/--mesh handle their own partitioning)",
+              file=sys.stderr)
+        procs_active = False
     if procs_active:
         if frame_range is not None:
             print("error: --procs cuts its own segments; it cannot combine "
@@ -254,10 +264,17 @@ def cmd_extract(args) -> int:
     cfg = _config_from_args(args)
     procs, procs_mode, procs_active = _procs_requested(args)
     if procs_active and getattr(args, "mesh", None):
-        print("error: --procs (host-parallel segments) and --mesh (device "
-              "mesh) cannot combine; use dist-extract for the full "
-              "hierarchy", file=sys.stderr)
-        return 1
+        if procs == "auto":
+            # auto picks the best mode for the invocation: --mesh shards
+            # on-device, the plain pipeline drives it (see cmd_embed)
+            print("note: --procs auto defers to the plain pipeline "
+                  "(--mesh handles its own partitioning)", file=sys.stderr)
+            procs_active = False
+        else:
+            print("error: --procs (host-parallel segments) and --mesh "
+                  "(device mesh) cannot combine; use dist-extract for the "
+                  "full hierarchy", file=sys.stderr)
+            return 1
 
     def run(run_cfg):
         if procs_active:
@@ -831,8 +848,12 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--procs-mode", choices=["thread", "spawn"],
                    default="thread",
                    help="worker kind: 'thread' (default; codec/XLA stages "
-                        "release the GIL) or 'spawn' OS processes with "
-                        "CPU-pinned jax, for GIL-bound fallback backends")
+                        "release the GIL; same backend as --procs 1, "
+                        "pixel-identical) or 'spawn' OS processes with "
+                        "CPU-pinned jax for GIL-bound fallback backends — "
+                        "on a TPU host, spawn's CPU workers may differ "
+                        "from the TPU kernel by ±1 pixel level at f32 "
+                        "rounding boundaries (same wire bits)")
     e.add_argument("--timing", action="store_true",
                    help="print decode/device/encode stage timing to stderr")
     _add_qim_flags(e)

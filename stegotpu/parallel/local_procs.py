@@ -57,8 +57,14 @@ def _spawn_init() -> None:
     `--procs-mode spawn` exists for hosts/backends where a stage holds the
     GIL (the cv2 fallback decoder) — i.e. CPU-compute hosts. A single-chip
     accelerator admits ONE client process, so worker processes must never
-    touch it; they compute on the XLA CPU backend (bit-identical output:
-    the wire contract is f32-exact there)."""
+    touch it; they compute on the XLA CPU backend. On a CPU-compute host
+    (spawn's intended habitat) that is byte-identical to thread mode and
+    --procs 1 (tests/test_local_procs.py). On a TPU host the parent's
+    Pallas kernel and the workers' CPU kernel legitimately differ by ±1
+    stego pixel level at f32 rounding boundaries (the exactness envelope,
+    ops/exactness.py) — the embedded payload still decodes identically,
+    but the stego file is not byte-equal to a --procs 1 TPU run; prefer
+    thread mode there."""
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
@@ -159,8 +165,6 @@ def _parallel_embed_payload(
     if procs != "auto" and int(procs) < 2:
         raise ValueError("parallel_embed needs procs >= 2 (use the plain "
                          "pipeline for 1)")
-    if not available():
-        raise OSError(f"--procs needs the native concat layer ({build_error()})")
 
     if sealed_bits is None:
         sealed_bits, _ = payload_mod.seal_payload(
@@ -173,17 +177,23 @@ def _parallel_embed_payload(
     with VideoReader(video_in) as probe:
         frame_count = probe.info.frame_count
         h8, w8 = probe.info.cropped
-    if frame_count <= 0:
-        raise ValueError(
-            "--procs needs a container-reported frame count to cut segments")
     if config.frame_capacity_bits(h8, w8) == 0:
         return EmbedResult(False, None, total, 0, 0)
 
+    # resolve 'auto' BEFORE demanding the native concat layer or a
+    # container frame count: when it resolves to 1 (1-core host, or no
+    # frame count to cut segments from), the plain pipeline is the
+    # documented fallback and needs neither
     procs = resolve_procs(procs, frame_count, batch_frames)
     if procs < 2:  # 'auto' on a 1-core host: the plain pipeline IS optimal
         return _embed_payload(video_in, img_bytes, width, height, video_out,
                               receiver_pub_compressed, config, batch_frames,
                               sealed_bits=sealed_bits)
+    if not available():
+        raise OSError(f"--procs needs the native concat layer ({build_error()})")
+    if frame_count <= 0:
+        raise ValueError(
+            "--procs needs a container-reported frame count to cut segments")
 
     bounds = segment_bounds(frame_count, procs, batch_frames)
     out_path = Path(force_avi_path(video_out))

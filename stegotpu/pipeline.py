@@ -611,6 +611,13 @@ def extract_image_from_video(
         #      exactly ceil(total/cap) frames, and the one-deep device
         #      pipeline + Prefetcher overlap decode with device compute.
         # Net: exactly max(batch_frames, payload_frames) frames decoded.
+        # Phase 1's lack of overlap is bounded even on garbage input
+        # (wrong key/params): every variable header field carries a
+        # 16-bit byte length, so parse_header_bits can demand at most
+        # ~2.6 Mbit (5 fields x 64 KiB + fixed bits) before it either
+        # parses, raises ValueError, or the video ends — on a real header
+        # it is one batch. The speculative read-ahead a Prefetcher would
+        # add here is exactly what the exact-frame-count contract forbids.
         frames_read = 0
         needed = payload_mod.FIXED_HEADER_BITS  # lower bound, grows as parsed
         total_bits: int | None = None           # exact once header parses

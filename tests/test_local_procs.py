@@ -284,3 +284,47 @@ def test_procs_spawn_mode_byte_identity(workdir, capsys):
     res = parallel_extract("spn.avi", priv, cfg, procs=2, mode="spawn")
     assert res.success, res.error
     np.testing.assert_array_equal(res.pixels, load_image_gray("s.png"))
+
+
+def test_procs_auto_falls_back_without_native_layer(workdir, monkeypatch):
+    """`--procs auto` resolving to 1 must reach the plain pipeline even
+    when the native concat layer is absent (cv2-fallback hosts) — the
+    availability gate belongs AFTER the auto resolution (round-5 review
+    fix: it used to raise OSError before resolve_procs could fall back)."""
+    from stegotpu.native import videoio
+    from stegotpu.parallel import local_procs
+
+    monkeypatch.setattr(videoio, "available", lambda: False)
+    monkeypatch.setattr(local_procs, "resolve_procs",
+                        lambda procs, fc, bf: 1 if procs == "auto" else
+                        int(procs))
+    assert main(["embed", "c.mp4", "s.png", "nofb_out", "--batch", "4",
+                 "--procs", "auto"]) == 0
+    assert main(["extract", "nofb_out.avi", "xnf.png"]) == 0
+    np.testing.assert_array_equal(load_image_gray("xnf.png"),
+                                  load_image_gray("s.png"))
+    # an EXPLICIT worker count still demands the native layer, loudly
+    with pytest.raises(OSError, match="native concat layer"):
+        from stegotpu.parallel.local_procs import parallel_embed
+
+        pub = crypto.serialize_public_compressed(
+            crypto.load_public_pem("bob_public_key.pem"))
+        parallel_embed("c.mp4", "s.png", "expl", pub, StegoConfig(),
+                       batch_frames=4, procs=2)
+
+
+def test_procs_auto_defers_to_plain_with_frame_range(workdir, capsys):
+    """`--procs auto --frame-range` runs the plain pipeline (auto means
+    "best mode for this invocation") instead of erroring; an explicit
+    worker count still conflicts loudly (round-5 review fix)."""
+    assert main(["embed", "c.mp4", "s.png", "fr_out", "--batch", "4",
+                 "--procs", "auto", "--frame-range", "0:24"]) == 0
+    err = capsys.readouterr().err
+    assert "defers to the plain pipeline" in err
+    assert main(["extract", "fr_out.avi", "xfr.png"]) == 0
+    np.testing.assert_array_equal(load_image_gray("xfr.png"),
+                                  load_image_gray("s.png"))
+
+    assert main(["embed", "c.mp4", "s.png", "fr2_out", "--batch", "4",
+                 "--procs", "2", "--frame-range", "0:24"]) == 1
+    assert "cannot combine" in capsys.readouterr().err
