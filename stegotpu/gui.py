@@ -122,7 +122,8 @@ class StegoApp:
         ttk.Label(params, text="codec:").pack(side="left")
         ttk.Combobox(params, textvariable=self.codec, width=6,
                      state="readonly",
-                     values=("FFV1", "HFYU")).pack(side="left", padx=4)
+                     values=("FFV1", "HFYU", "RGBA")).pack(side="left",
+                                                           padx=4)
         ttk.Label(params, text="precision:").pack(side="left")
         ttk.Combobox(params, textvariable=self.precision, width=5,
                      state="readonly",

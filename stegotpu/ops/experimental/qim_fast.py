@@ -59,11 +59,18 @@ def _dct2_image(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     mv = m.T if inverse else m  # vertical operator (contract row index)
     # vertical: y[.., k, ..] = sum_r mv[k, r] x[.., r, ..] within each 8-row group
     xv = x.reshape(b, h // BLOCK, BLOCK, w)
-    y = jnp.einsum("kr,bgrw->bgkw", mv, xv, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: on TPU the default f32 matmul is a single bf16
+    # pass that drifts coefficients off the f32 lattice (the r4 bug,
+    # ops/qim.py) — pinned here too so the module's bit-identity claim
+    # holds on real chips, not just the CPU backend CI runs
+    y = jnp.einsum("kr,bgrw->bgkw", mv, xv,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     y = y.reshape(b, h, w)
     # horizontal: right-multiply by I_16 (x) M^T via the 128-lane reshape
     bh = jnp.asarray(_bdiag_matrix(transpose=not inverse))
-    yh = y.reshape(-1, _LANE) @ bh
+    yh = jnp.dot(y.reshape(-1, _LANE), bh,
+                 precision=jax.lax.Precision.HIGHEST)
     return yh.reshape(b, h, w)
 
 

@@ -23,6 +23,7 @@ the speedup well below N on decode-bound paths).
 
 from __future__ import annotations
 
+import logging
 import os
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -34,6 +35,8 @@ from stegotpu import payload as payload_mod
 from stegotpu.bitstream import bits_to_bytes
 from stegotpu.config import StegoConfig
 from stegotpu.image import bytes_to_pixels, image_to_bits, save_image_gray
+
+log = logging.getLogger("stegotpu")
 from stegotpu.parallel.dist_pipeline import segment_bounds
 from stegotpu.utils.logging import get_logger
 
@@ -257,7 +260,24 @@ def _segment_bits(stego_video, lo: int, hi: int, h8: int, w8: int,
     out: list[np.ndarray] = []
     got, need = 0, hi - lo
     with VideoReader(stego_video) as reader:
-        reader.seek(lo)
+        try:
+            reader.seek(lo)
+        except OSError as e:
+            # unseekable container: decode-and-discard fallback, matching
+            # the embed-segment and dist-extract call sites — a file that
+            # extracts fine with --procs 1 must not fail with --procs N
+            log.warning("segment seek failed (%s); falling back to "
+                        "decode-and-discard", e)
+            skipped = 0
+            for gray in reader.batches(batch_frames, mode="gray"):
+                skipped += gray.shape[0]
+                if skipped > lo:
+                    raise OSError(
+                        f"decode-and-discard overshot segment start {lo} "
+                        f"(reader yielded {skipped} frames; batch-aligned "
+                        "segments should land exactly)") from e
+                if skipped == lo:
+                    break
         for gray in reader.batches(batch_frames, mode="gray"):
             n = gray.shape[0]
             take = min(n, need - got)

@@ -203,6 +203,12 @@ def _embed_payload(
         )
     total = int(all_bits.size)
     lo, hi = frame_range if frame_range is not None else (0, None)
+    if lo < 0 or (hi is not None and hi <= lo):
+        # a negative lo would pass the batch-alignment check below (-8 % 8
+        # == 0) and then Python-wrap the payload slice to the END of the
+        # bitstream — a silently-corrupt embed; reject up front
+        raise ValueError(f"frame_range {frame_range} invalid: need "
+                         "0 <= start < end")
 
     with VideoReader(video_in) as reader:
         h8, w8 = reader.info.cropped
@@ -612,12 +618,13 @@ def extract_image_from_video(
         #      pipeline + Prefetcher overlap decode with device compute.
         # Net: exactly max(batch_frames, payload_frames) frames decoded.
         # Phase 1's lack of overlap is bounded even on garbage input
-        # (wrong key/params): every variable header field carries a
-        # 16-bit byte length, so parse_header_bits can demand at most
-        # ~2.6 Mbit (5 fields x 64 KiB + fixed bits) before it either
-        # parses, raises ValueError, or the video ends — on a real header
-        # it is one batch. The speculative read-ahead a Prefetcher would
-        # add here is exactly what the exact-frame-count contract forbids.
+        # (wrong key/params): every variable header field carries an
+        # 8-bit byte length (config.LEN_FIELD_BITS), so parse_header_bits
+        # can demand at most payload.max_header_bits() ~= 10 kbit before
+        # it either parses, raises ValueError, or the video ends — on a
+        # real header it is one batch. The speculative read-ahead a
+        # Prefetcher would add here is exactly what the exact-frame-count
+        # contract forbids.
         frames_read = 0
         needed = payload_mod.FIXED_HEADER_BITS  # lower bound, grows as parsed
         total_bits: int | None = None           # exact once header parses

@@ -202,6 +202,8 @@ class _Handler(BaseHTTPRequestHandler):
             return False
         allowed = getattr(self.server, "allowed_hosts",
                           {"127.0.0.1", "localhost", "::1"})
+        if allowed is None:  # wildcard bind: check disabled (make_server)
+            return True
         return host in allowed
 
     def do_POST(self):
@@ -246,6 +248,14 @@ def make_server(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
     # urlsplit().hostname (the comparison side) is lowercase and unbracketed
     srv.allowed_hosts = {host.strip("[]").lower(), "127.0.0.1", "localhost",
                          "::1"}
+    # The Host allowlist exists to stop DNS-rebinding against the default
+    # LOOPBACK daemon. A wildcard bind means the operator deliberately
+    # exposed the service on every interface — clients then send whatever
+    # address they reached it by (e.g. 192.168.1.5:8752), which a literal
+    # allowlist of the bind string would 403. Disable the check there; the
+    # rebinding defense is only meaningful for loopback binds anyway.
+    if host.strip("[]") in ("0.0.0.0", "::", ""):
+        srv.allowed_hosts = None  # _host_allowed: any Host accepted
     return srv
 
 

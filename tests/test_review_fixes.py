@@ -238,3 +238,67 @@ def test_cv2_seek_is_absolute_after_reads(tmp_path):
         np.testing.assert_array_equal(r.read_frame(), frames[5])
         with _pytest.raises(OSError):
             r.seek(2)           # backwards: refused, not silently wrong
+
+
+def test_frame_range_rejects_negative_and_inverted(tmp_path):
+    """A negative lo used to pass the batch-alignment check (-8 % 8 == 0)
+    and Python-wrap the payload slice to the END of the bitstream — a
+    silently-corrupt embed (round-5 review). Now both bad shapes raise."""
+    from stegotpu import fixtures
+    from stegotpu.config import StegoConfig
+    from stegotpu.pipeline import embed_image_in_video
+
+    fixtures.make_secret_image(tmp_path / "s.png", 16, 16, kind="noise",
+                               seed=3)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 160, 128, frames=10,
+                              kind="moving", seed=4)
+    _, pub_c = crypto.setup_receiver_keys(tmp_path / "k.pem",
+                                          tmp_path / "p.pem")
+    for bad in [(-8, 16), (8, 8), (16, 8)]:
+        with pytest.raises(ValueError, match="0 <= start < end"):
+            embed_image_in_video(
+                tmp_path / "c.mp4", tmp_path / "s.png", tmp_path / "seg",
+                pub_c, StegoConfig(), batch_frames=8, frame_range=bad,
+            )
+
+
+def test_procs_extract_seek_fallback(tmp_path, monkeypatch):
+    """parallel_extract segment workers fall back to decode-and-discard on
+    an unseekable container, matching every other seek call site — a file
+    that extracts with --procs 1 must not fail with --procs N (round-5
+    review)."""
+    from stegotpu import fixtures
+    from stegotpu.config import StegoConfig
+    from stegotpu.image import load_image_gray
+    from stegotpu.parallel.local_procs import parallel_extract
+    from stegotpu.pipeline import embed_image_in_video
+    from stegotpu.video import VideoReader
+
+    # 128x128 secret = ~131k payload bits over 12k bits/frame -> the
+    # payload spans ~11 frames, so 2 batch-4-aligned segments are LIVE and
+    # the second worker's seek(lo>0) must hit the fallback
+    fixtures.make_secret_image(tmp_path / "s.png", 128, 128, kind="noise",
+                               seed=5)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 320, 240, frames=16,
+                              kind="moving", seed=6)
+    priv, pub_c = crypto.setup_receiver_keys(tmp_path / "k.pem",
+                                             tmp_path / "p.pem")
+    res = embed_image_in_video(tmp_path / "c.mp4", tmp_path / "s.png",
+                               tmp_path / "st", pub_c, StegoConfig(),
+                               batch_frames=4)
+    assert res.success
+
+    failed_seeks = []
+
+    def broken_seek(self, frame):
+        if frame > 0:
+            failed_seeks.append(frame)
+            raise OSError("seek: simulated unseekable container")
+
+    monkeypatch.setattr(VideoReader, "seek", broken_seek)
+    ext = parallel_extract(res.output_path, priv, StegoConfig(),
+                           batch_frames=4, procs=2)
+    assert ext.success, ext.error
+    assert failed_seeks, "fallback never exercised: no worker sought past 0"
+    np.testing.assert_array_equal(ext.pixels,
+                                  load_image_gray(tmp_path / "s.png"))

@@ -202,3 +202,30 @@ def test_serve_with_encrypted_key_env_passphrase(server, tmp_path,
     assert code == 200 and out["success"], out
     np.testing.assert_array_equal(load_image_gray(tmp_path / "x.png"),
                                   load_image_gray(tmp_path / "s.png"))
+
+
+def test_serve_wildcard_bind_accepts_any_host():
+    """A 0.0.0.0/:: bind deliberately exposes the daemon on every
+    interface; clients then send whatever address they reached it by, so
+    the anti-rebinding Host allowlist is disabled there (round-5 review
+    fix: the literal allowlist 403'd every legitimate remote client)."""
+    srv = make_server(host="0.0.0.0", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inspect",
+            data=b'{"stego": "/nonexistent.avi"}',
+            headers={"Content-Type": "application/json",
+                     "Host": "192.168.1.5:8752"},
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        # 400 = past the host check into the handler (file missing); the
+        # old behavior was a 403 for any Host not literally '0.0.0.0'
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
