@@ -103,9 +103,9 @@ def dual_roundtrip(frames, payload_bits, total_bits, delta, num_ac,
     )(
         pk._pad_lanes(frames, wp), rows,
         jnp.asarray(pk._vert2_matrix(stripe, rn)),
-        jnp.asarray(pk._vert_expand_bf16(stripe, rn)),
+        jnp.asarray(pk._vert_expand2_matrix(stripe, rn, False)),
         jnp.asarray(pk._horiz2_matrix()),
-        jnp.asarray(pk._horiz_inv_bf16()),
+        jnp.asarray(pk._horiz_inv2_matrix(False)),
         jnp.asarray(pk._pack_matrix(wp)),
         delta.reshape(1), lim,
     )

@@ -40,14 +40,14 @@ def build(b: int, bufs: int = 2):
         _extract_bits_f32,
         _f32_to_u8,
         _horiz2_matrix,
-        _horiz_inv_bf16,
+        _horiz_inv2_matrix,
         _idct2_sparse,
         _pack_matrix,
         _qim_sparse_delta,
         _rows_pad,
         _u8_to_f32,
         _vert2_matrix,
-        _vert_expand_bf16,
+        _vert_expand2_matrix,
         rows_per_block,
     )
 
@@ -108,9 +108,9 @@ def build(b: int, bufs: int = 2):
         )(idx_hbm, frames_hbm, rows_hbm, stego_hbm, packed_hbm)
 
     mats = (np.asarray(_vert2_matrix(STRIPE, rn)),
-            np.asarray(_vert_expand_bf16(STRIPE, rn)),
+            np.asarray(_vert_expand2_matrix(STRIPE, rn, False)),
             np.asarray(_horiz2_matrix()),
-            np.asarray(_horiz_inv_bf16()),
+            np.asarray(_horiz_inv2_matrix(False)),
             np.asarray(_pack_matrix(W)))
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM)

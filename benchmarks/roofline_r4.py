@@ -61,12 +61,12 @@ def build_variant(name: str, stripe: int, dimsem, cost: bool, bufs: int = 0):
     from stegotpu.ops.pallas_kernel import (
         _embed_kernel,
         _horiz2_matrix,
-        _horiz_inv_bf16,
+        _horiz_inv2_matrix,
         _pack_matrix,
         _roundtrip_kernel_packed,
         _rows_pad,
         _vert2_matrix,
-        _vert_expand_bf16,
+        _vert_expand2_matrix,
         rows_per_block,
     )
 
@@ -156,14 +156,14 @@ def build_variant(name: str, stripe: int, dimsem, cost: bool, bufs: int = 0):
     mats = None
     if name == "embed":
         mats = (np.asarray(_vert2_matrix(stripe, rn)),
-                np.asarray(_vert_expand_bf16(stripe, rn)),
+                np.asarray(_vert_expand2_matrix(stripe, rn, False)),
                 np.asarray(_horiz2_matrix()),
-                np.asarray(_horiz_inv_bf16()))
+                np.asarray(_horiz_inv2_matrix(False)))
     elif name != "dmaspec":
         mats = (np.asarray(_vert2_matrix(stripe, rn)),
-                np.asarray(_vert_expand_bf16(stripe, rn)),
+                np.asarray(_vert_expand2_matrix(stripe, rn, False)),
                 np.asarray(_horiz2_matrix()),
-                np.asarray(_horiz_inv_bf16()),
+                np.asarray(_horiz_inv2_matrix(False)),
                 np.asarray(_pack_matrix(W)))
 
     @jax.jit

@@ -359,24 +359,43 @@ def _horiz2_matrix(fast: bool = False) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _horiz_inv_bf16() -> np.ndarray:
-    """(128, 128) bf16 inverse horizontal operator — SINGLE pass.
+def _horiz_inv2_matrix(fast: bool = False) -> np.ndarray:
+    """Inverse horizontal operator: (128, 256) bf16 [Bi_hi | Bi_lo] stack
+    (wire) or (128, 128) hi-only (fast).
 
-    The inverse path transforms the sparse coefficient delta dy
-    (|dy| <= delta + eps), so a 2^-9 relative error injects at most
-    ~1.3% of delta into the re-derived stego coefficients (worst-case
-    basis-aligned bound) — 40x inside the delta/2 QIM margin at every
-    delta, and the same order as uint8 pixel truncation. Measured
-    on-chip: roundtrip BER stays 0 on the robust envelope and the
-    exactness sweep's boundary envelope still holds (TPUCHECK_r05)."""
-    return _bf16_hi_lo(_horiz_matrix(inverse=True))[0]
+    Rounds 1-4 ran the inverse SINGLE-pass bf16 for both modes, arguing
+    |dy| <= delta bounds the injected error ~40x inside the delta/2
+    margin. Round 5's product soak falsified that at the robust envelope's
+    delta=8 edge on smooth covers: the ~0.1-level pixel noise crosses the
+    uint8 truncation cliff on ~0.4% of pixels, and those +-1 pixel shifts
+    cost the pallas embed ~3-13e-5 BER where the f32 XLA embed loses zero
+    (reproduced in interpret mode — kernel MATH, not a Mosaic artifact).
+    The wire inverse is therefore f32-faithful now, same single-issue
+    packing as the forward (_horiz2_matrix): [dy_hi; dy_lo] @
+    [Bi_hi | Bi_lo] computes all four quarters in one issue; lo@lo is
+    discarded. 'fast' keeps the single pass (its envelope starts at
+    delta >= 12, where the single-pass budget genuinely holds)."""
+    hi, lo = _bf16_hi_lo(_horiz_matrix(inverse=True))
+    if fast:
+        return hi
+    return np.concatenate([hi, lo], axis=1)
 
 
 @functools.lru_cache(maxsize=None)
-def _vert_expand_bf16(stripe: int, rn: int) -> np.ndarray:
-    """(S, rows_pad) bf16 inverse vertical operator — SINGLE pass (same
-    error budget as _horiz_inv_bf16)."""
-    return _bf16_hi_lo(_vert_expand_matrix(stripe, rn))[0]
+def _vert_expand2_matrix(stripe: int, rn: int, fast: bool = False
+                         ) -> np.ndarray:
+    """Inverse vertical operator: (S, 3*rows_pad) bf16 [P_hi | P_hi | P_lo]
+    (wire) or (S, rows_pad) hi-only (fast).
+
+    The vertical input dh is continuous (not bf16-exact), so f32-faithful
+    needs P_hi@dh_hi + P_hi@dh_lo + P_lo@dh_hi; stacking the matrix along
+    K against [dh_hi; dh_lo; dh_hi] computes all three in ONE issue
+    (k = 3*rows_pad = 48 at the default num_ac — still tiny). Rationale
+    for why wire mode needs this at all: _horiz_inv2_matrix."""
+    hi, lo = _bf16_hi_lo(_vert_expand_matrix(stripe, rn))
+    if fast:
+        return hi
+    return np.concatenate([hi, hi, lo], axis=1)
 
 
 def _dct2_compact(x, vert2, bh2, w):
@@ -410,14 +429,29 @@ def _dct2_compact(x, vert2, bh2, w):
 
 def _idct2_sparse(dy, pve_bf, bhi_bf, w):
     """Pixel-space image of a SPARSE coefficient delta living on the compact
-    slot rows: single-pass bf16 inverse pair (error budget documented at
-    _horiz_inv_bf16). (rows_pad, W) -> (S, W)."""
+    slot rows: (rows_pad, W) -> (S, W). Mode is carried by the MATRICES
+    (like _dct2_compact): wire shapes ((128, 256) horizontal,
+    (S, 3*rows_pad) vertical) run the f32-faithful stacked hi/lo math in
+    two MXU issues; fast shapes run single-pass bf16 (the r1-r4 wire
+    behavior, now the opt-in mode's budget only — _horiz_inv2_matrix)."""
     rp = dy.shape[0]
     m = rp * (w // _LANE)
-    dh = jnp.dot(dy.astype(jnp.bfloat16).reshape(m, _LANE), bhi_bf,
-                 preferred_element_type=jnp.float32).reshape(rp, w)
-    return jnp.dot(pve_bf, dh.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
+    fast = bhi_bf.shape[-1] == _LANE
+    if fast:
+        dh = jnp.dot(dy.astype(jnp.bfloat16).reshape(m, _LANE), bhi_bf,
+                     preferred_element_type=jnp.float32).reshape(rp, w)
+        return jnp.dot(pve_bf, dh.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    dy_hi = dy.astype(jnp.bfloat16)
+    dy_lo = (dy - dy_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    yr = jnp.concatenate(
+        [dy_hi.reshape(m, _LANE), dy_lo.reshape(m, _LANE)], axis=0)
+    r = jnp.dot(yr, bhi_bf, preferred_element_type=jnp.float32)  # (2m, 256)
+    dh = (r[:m, :_LANE] + r[m:, :_LANE] + r[:m, _LANE:]).reshape(rp, w)
+    dh_hi = dh.astype(jnp.bfloat16)
+    dh_lo = (dh - dh_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dstack = jnp.concatenate([dh_hi, dh_lo, dh_hi], axis=0)  # (3rp, W)
+    return jnp.dot(pve_bf, dstack, preferred_element_type=jnp.float32)
 
 
 def _qim_valid_compact(total, offset, *, stripe, w, w_real, num_ac, cap, rn,
@@ -597,9 +631,9 @@ def _embed_frames_pallas(
     )(
         _pad_lanes(frames, wp), rows,
         jnp.asarray(_vert2_matrix(stripe, rn, fast)),
-        jnp.asarray(_vert_expand_bf16(stripe, rn)),
+        jnp.asarray(_vert_expand2_matrix(stripe, rn, fast)),
         jnp.asarray(_horiz2_matrix(fast)),
-        jnp.asarray(_horiz_inv_bf16()),
+        jnp.asarray(_horiz_inv2_matrix(fast)),
         delta_arr, lim,
     )
     if wp != w:
@@ -832,9 +866,9 @@ def _rows_roundtrip_pallas_packed(
     )(
         _pad_lanes(frames, wp), rows,
         jnp.asarray(_vert2_matrix(stripe, rn, fast)),
-        jnp.asarray(_vert_expand_bf16(stripe, rn)),
+        jnp.asarray(_vert_expand2_matrix(stripe, rn, fast)),
         jnp.asarray(_horiz2_matrix(fast)),
-        jnp.asarray(_horiz_inv_bf16()),
+        jnp.asarray(_horiz_inv2_matrix(fast)),
         jnp.asarray(_pack_matrix(wp)),
         delta_arr, lim,
     )
@@ -948,9 +982,9 @@ def _embed_and_check_frames_pallas(
     )(
         _pad_lanes(frames, wp), rows,
         jnp.asarray(_vert2_matrix(stripe, rn, fast)),
-        jnp.asarray(_vert_expand_bf16(stripe, rn)),
+        jnp.asarray(_vert_expand2_matrix(stripe, rn, fast)),
         jnp.asarray(_horiz2_matrix(fast)),
-        jnp.asarray(_horiz_inv_bf16()),
+        jnp.asarray(_horiz_inv2_matrix(fast)),
         delta_arr, lim,
     )
     if wp != w:
@@ -1063,9 +1097,9 @@ def _embed_and_extract_frames_pallas(
     )(
         _pad_lanes(frames, wp), rows,
         jnp.asarray(_vert2_matrix(stripe, rn, fast)),
-        jnp.asarray(_vert_expand_bf16(stripe, rn)),
+        jnp.asarray(_vert_expand2_matrix(stripe, rn, fast)),
         jnp.asarray(_horiz2_matrix(fast)),
-        jnp.asarray(_horiz_inv_bf16()),
+        jnp.asarray(_horiz_inv2_matrix(fast)),
         delta_arr, lim,
     )
     if wp != w:

@@ -100,11 +100,6 @@ def main() -> None:
         print(f"  {f.name}  {f.stat().st_size} bytes")
 
 
-if __name__ == "__main__":
-    main()
-    main_lanepad()
-
-
 def main_lanepad() -> None:
     """Second frozen case (r4): PALLAS-embedded stego at a lane-padded
     width (240 % 128 != 0 — the r4 zero-pad/mask path), reference-extracted
@@ -154,3 +149,8 @@ def main_lanepad() -> None:
           "IDENTICALLY; artifacts frozen:")
     for f in sorted(GOLDEN.glob("rev2_*")):
         print(f"  {f.name}  {f.stat().st_size} bytes")
+
+
+if __name__ == "__main__":
+    main()
+    main_lanepad()
