@@ -115,6 +115,16 @@ def one_draw(i: int, rng: np.random.Generator, workdir: Path) -> dict:
 
 
 def main() -> None:
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # sitecustomize imports jax before this script runs, freezing the
+        # session's platform pin — re-assert the env var's choice
+        # (tools/tpucheck.py pattern). JAX_PLATFORMS=cpu makes the soak
+        # tunnel-independent; the default soaks the session backend.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     rng = np.random.default_rng(seed)
