@@ -1,11 +1,14 @@
-"""Randomized INTEROP soak: stegotpu embed -> the REAL reference extractor.
+"""Randomized INTEROP soak against the REAL reference, BOTH directions.
 
-tests/golden/ pins two frozen configs of this direction (rev/rev2); this
-tool randomizes it — resolution (incl. lane-padded widths), delta,
-num_ac, secret size, kernel, verified embed — embeds with stegotpu and
-runs the actual reference implementation's extractor
-(/root/reference/extract_process.py, or $STEGO_REFERENCE) on the
-result, asserting the recovered secret is PIXEL-IDENTICAL every draw.
+tests/golden/ pins frozen configs of each direction (ref_stego*/rev*);
+this tool randomizes them — resolution (incl. lane-padded widths),
+delta, num_ac, secret size, kernel, verified embed. Per draw:
+
+  1. stegotpu embed -> reference extractor
+     (/root/reference/extract_process.py, or $STEGO_REFERENCE) —
+     recovered secret asserted PIXEL-IDENTICAL;
+  2. reference embed (embed_process.py) on the same cover/secret ->
+     stegotpu extract — success, SHA3 hash OK, pixel-identical.
 
 Covers (FFV1 .avi only — the reference reads via cv2.VideoCapture) are
 mid-luma textured so the algorithm's clipping tail cannot contribute;
@@ -44,11 +47,12 @@ def main() -> None:
     from stegotpu import crypto
     from stegotpu.config import StegoConfig
     from stegotpu.image import load_image_gray
-    from stegotpu.pipeline import embed_image_in_video
+    from stegotpu.pipeline import embed_image_in_video, extract_image_from_video
     from stegotpu.video import VideoWriter
 
     sys.path.insert(0, str(REFERENCE))
-    import extract_process  # reference module, treated as a black box
+    import embed_process  # reference modules, treated as black boxes
+    import extract_process
 
     rng = np.random.default_rng(seed)
     fails = 0
@@ -91,6 +95,19 @@ def main() -> None:
                 assert ok, ("reference extractor rejected", row)
                 got = load_image_gray(d / "ref_out.png")
                 np.testing.assert_array_equal(got, secret, err_msg=str(row))
+
+                # direction 2: reference embed -> stegotpu extract
+                ok2, _, _ = embed_process.embed_gambar_ke_video_final(
+                    str(d / "c.avi"), str(d / "s.png"), str(d / "ref_st"),
+                    delta, num_ac, pub_c)
+                assert ok2, ("reference embed failed", row)
+                ours = extract_image_from_video(
+                    d / "ref_st.avi", priv,
+                    StegoConfig(delta=delta, num_ac_coeffs=num_ac,
+                                kernel=kernel))
+                assert ours.success and ours.hash_ok, (row, ours.error)
+                np.testing.assert_array_equal(ours.pixels, secret,
+                                              err_msg=str(row))
                 row["wall_s"] = round(time.perf_counter() - t0, 2)
                 print(json.dumps(row), flush=True)
             except AssertionError as e:
