@@ -29,6 +29,26 @@ extern "C" {
 #include <thread>
 #include <vector>
 
+#ifdef __linux__
+#include <sched.h>
+#endif
+
+// Usable CPU count respecting cgroup/affinity limits (hardware_concurrency
+// reports the MACHINE's cores even when the process is pinned to one —
+// the Python side's video.effective_cpu_count exists for the same reason;
+// oversubscribing a pinned core measurably thrashes the encoder pool).
+static int effective_cpus() {
+#ifdef __linux__
+  cpu_set_t set;
+  if (sched_getaffinity(0, sizeof(set), &set) == 0) {
+    int n = CPU_COUNT(&set);
+    if (n > 0) return n;
+  }
+#endif
+  int n = static_cast<int>(std::thread::hardware_concurrency());
+  return n > 0 ? n : 1;
+}
+
 namespace {
 
 struct Reader {
@@ -42,6 +62,7 @@ struct Reader {
   int width = 0, height = 0;
   double fps = 0.0;
   int64_t nframes = 0;
+  int sws_fmt = -1;  // pixel format the sws context was built for
   bool draining = false;
   bool done = false;
   bool pending = false;  // r->frame holds an undelivered frame (post-seek)
@@ -177,7 +198,7 @@ void* svx_reader_open(const char* path) {
   AVStream* st = r->fmt->streams[r->stream_idx];
   r->dec = avcodec_alloc_context3(codec);
   avcodec_parameters_to_context(r->dec, st->codecpar);
-  r->dec->thread_count = static_cast<int>(std::thread::hardware_concurrency());
+  r->dec->thread_count = effective_cpus();
   r->dec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
   if (avcodec_open2(r->dec, codec, nullptr) < 0) {
     set_err("cannot open decoder");
@@ -232,7 +253,18 @@ int svx_reader_read_batch(void* h, uint8_t* bgr_out, uint8_t* gray_out,
       ret = avcodec_receive_frame(r->dec, r->frame);
     }
     if (ret == 0) {
+      // revalidate per frame: a mid-stream dimension or pixel-format
+      // change (parameter-set switch in a spliced/crafted file) would
+      // make sws_scale read rows the frame buffer doesn't have — surface
+      // a structured error instead of an out-of-bounds read
+      if (r->frame->width != r->width || r->frame->height != r->height ||
+          (r->sws && r->frame->format != r->sws_fmt)) {
+        set_err("mid-stream dimension/pixel-format change");
+        av_frame_unref(r->frame);
+        return -1;
+      }
       if (!r->sws) {
+        r->sws_fmt = r->frame->format;
         r->sws = sws_getContext(r->width, r->height,
                                 static_cast<AVPixelFormat>(r->frame->format),
                                 r->width, r->height, AV_PIX_FMT_BGR24,
@@ -278,13 +310,21 @@ int svx_reader_read_batch(void* h, uint8_t* bgr_out, uint8_t* gray_out,
       continue;
     }
     if (r->pkt->stream_index == r->stream_idx) {
-      // a corrupt/truncated packet (cut-off file) is not fatal: skip it and
-      // keep demuxing — the demuxer's own EOF ends the stream, and the
-      // caller sees a short read instead of a hard error. Anything OTHER
-      // than bad data (ENOMEM, decoder-state errors) must surface, not be
-      // laundered into a clean-looking short read.
+      // a corrupt packet (bad data) is not fatal, but it must END the
+      // stream, not be skipped: skipping would splice frame N+1 into
+      // index N and silently desync every later bit offset. Draining
+      // here delivers the intact PREFIX as a short read — the structured
+      // failure mode the fuzz contract pins (tests/test_native_fuzz.py).
+      // Anything OTHER than bad data (ENOMEM, decoder-state errors) must
+      // surface, not be laundered into a clean-looking short read.
       ret = avcodec_send_packet(r->dec, r->pkt);
-      if (ret < 0 && ret != AVERROR_INVALIDDATA && ret != AVERROR(EAGAIN)) {
+      if (ret == AVERROR_INVALIDDATA) {
+        av_packet_unref(r->pkt);
+        r->draining = true;
+        avcodec_send_packet(r->dec, nullptr);  // flush the intact prefix
+        continue;
+      }
+      if (ret < 0 && ret != AVERROR(EAGAIN)) {
         char buf[AV_ERROR_MAX_STRING_SIZE] = {0};
         av_strerror(ret, buf, sizeof(buf));
         set_err(std::string("decoder rejected packet: ") + buf);
@@ -459,7 +499,7 @@ void* svx_writer_open(const char* path, int width, int height, double fps,
   AVPixelFormat pix = codec->id == AV_CODEC_ID_FFV1      ? AV_PIX_FMT_BGR0
                       : codec->id == AV_CODEC_ID_RAWVIDEO ? AV_PIX_FMT_BGR24
                                                           : AV_PIX_FMT_RGB24;
-  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int hw = effective_cpus();
   if (hw < 1) hw = 1;
   int n = workers > 0 ? workers : std::min(hw, 8);
   // split the cores between frame-level (lanes) and slice-level (threads
@@ -627,8 +667,15 @@ int svx_concat(const char* out_path, const char** inputs, int n_inputs) {
       header_written = true;
     } else if (istream->codecpar->codec_id != ostream->codecpar->codec_id ||
                istream->codecpar->width != ostream->codecpar->width ||
-               istream->codecpar->height != ostream->codecpar->height) {
-      set_err(std::string("segment codec/dims mismatch: ") + inputs[i]);
+               istream->codecpar->height != ostream->codecpar->height ||
+               istream->codecpar->format != ostream->codecpar->format ||
+               av_cmp_q(istream->time_base, ostream->time_base) != 0) {
+      // format (pix_fmt) and time_base must match too: same-codec
+      // segments with different pixel formats decode to garbage after
+      // the first segment under its codecpar, and mixed tick rates would
+      // silently retime segment 2+ — refuse rather than emit a broken file
+      set_err(std::string("segment codec/dims/pixfmt/timebase mismatch: ") +
+              inputs[i]);
       avformat_close_input(&in);
       rc = -1;
       break;
@@ -671,10 +718,30 @@ int svx_concat(const char* out_path, const char** inputs, int n_inputs) {
 int svx_writer_close(void* h) {
   auto* w = static_cast<Writer*>(h);
   int rc = 0;
-  for (auto& l : w->lanes) {
-    if (!lane_flush(&l)) rc = -1;
+  bool any_failed = false;
+  for (auto& l : w->lanes) any_failed |= l.failed;
+  if (any_failed) {
+    // a lane died mid-batch: the surviving lanes' queued packets are a
+    // PARTIAL batch (writer_write_impl returned -1 before muxing them).
+    // Muxing them here would emit a file with a silent pts gap that
+    // extracts to corrupt payload while close() reports success — drop
+    // the partial batch, finalize the prefix, and report failure so the
+    // caller knows the file is short. (lane.failed is deliberately
+    // sticky: the encoder context's state is unknown after a failed
+    // send, so the writer is fail-closed from that point.)
+    for (auto& l : w->lanes) {
+      for (AVPacket* p : l.out) av_packet_free(&p);
+      l.out.clear();
+    }
+    set_err("close after failed write: output truncated at the last "
+            "complete batch");
+    rc = -1;
+  } else {
+    for (auto& l : w->lanes) {
+      if (!lane_flush(&l)) rc = -1;
+    }
+    if (mux_collected(w) < 0) rc = -1;
   }
-  if (mux_collected(w) < 0) rc = -1;
   if (av_write_trailer(w->fmt) < 0) rc = -1;
   for (auto& l : w->lanes) free_lane(l);
   w->lanes.clear();

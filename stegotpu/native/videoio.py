@@ -24,14 +24,28 @@ def _load():
     global _lib, _build_error
     if _lib is not None or _build_error is not None:
         return _lib
+    def _stale() -> bool:
+        return (not _SO.exists()
+                or _SO.stat().st_mtime < (_DIR / "videoio.cpp").stat().st_mtime)
+
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < (_DIR / "videoio.cpp").stat().st_mtime:
-            proc = subprocess.run(
-                ["make", "-C", str(_DIR), "-s"], capture_output=True, text=True
-            )
-            if proc.returncode != 0:
-                _build_error = proc.stderr[-2000:]
-                return None
+        if _stale():
+            # cross-process build lock: concurrent first uses (dist hosts
+            # on a shared FS, parallel CLI runs on a fresh checkout) must
+            # not compile twice; the Makefile also writes via an atomic
+            # rename so a reader never dlopens a half-written .so
+            import fcntl
+
+            with open(_DIR / ".build.lock", "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                if _stale():
+                    proc = subprocess.run(
+                        ["make", "-C", str(_DIR), "-s"],
+                        capture_output=True, text=True,
+                    )
+                    if proc.returncode != 0:
+                        _build_error = proc.stderr[-2000:]
+                        return None
         lib = ctypes.CDLL(str(_SO))
         lib.svx_last_error.restype = ctypes.c_char_p
         lib.svx_reader_open.restype = ctypes.c_void_p
@@ -200,7 +214,11 @@ class NativeVideoWriter:
                 f"frame shape {frames_bgr.shape[1:]} != configured "
                 f"({self.height}, {self.width}, 3)"
             )
-        frames_bgr = np.ascontiguousarray(frames_bgr, dtype=np.uint8)
+        if frames_bgr.dtype != np.uint8:
+            # an unsafe cast here (float -1.0 -> 255, 256 -> 0) would write
+            # silently corrupt stego; surface the caller's dtype bug instead
+            raise ValueError(f"frames must be uint8, got {frames_bgr.dtype}")
+        frames_bgr = np.ascontiguousarray(frames_bgr)
         rc = self._lib.svx_writer_write(
             self._h, frames_bgr.ctypes.data_as(ctypes.c_void_p),
             frames_bgr.shape[0],
@@ -218,7 +236,9 @@ class NativeVideoWriter:
                 f"frame shape {frames_gray.shape[1:]} != configured "
                 f"({self.height}, {self.width})"
             )
-        frames_gray = np.ascontiguousarray(frames_gray, dtype=np.uint8)
+        if frames_gray.dtype != np.uint8:
+            raise ValueError(f"frames must be uint8, got {frames_gray.dtype}")
+        frames_gray = np.ascontiguousarray(frames_gray)
         rc = self._lib.svx_writer_write_gray(
             self._h, frames_gray.ctypes.data_as(ctypes.c_void_p),
             frames_gray.shape[0],
@@ -231,13 +251,23 @@ class NativeVideoWriter:
             rc = self._lib.svx_writer_close(self._h)
             self._h = None
             if rc != 0:
-                raise IOError("native writer close failed")
+                raise IOError("native writer close failed: "
+                              + self._lib.svx_last_error().decode())
 
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
-        self.close()
+        try:
+            self.close()
+        except IOError:
+            # after a failed write() the close reports the truncation too;
+            # re-raising here would MASK the original write exception that
+            # is already propagating. Only surface close errors on the
+            # clean-exit path.
+            if exc and exc[0] is not None:
+                return
+            raise
 
 
 def concat_videos(out_path: str | Path, inputs: list[str | Path]) -> None:

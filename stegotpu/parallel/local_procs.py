@@ -261,7 +261,8 @@ def _segment_bits(stego_video, lo: int, hi: int, h8: int, w8: int,
     got, need = 0, hi - lo
     with VideoReader(stego_video) as reader:
         try:
-            reader.seek(lo)
+            if lo > 0:  # matching pipeline/dist guards: never seek(0)
+                reader.seek(lo)
         except OSError as e:
             # unseekable container: decode-and-discard fallback, matching
             # the embed-segment and dist-extract call sites — a file that

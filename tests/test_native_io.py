@@ -263,3 +263,18 @@ def test_concat_mismatched_segments_refused(tmp_path):
     with pytest.raises(OSError, match="mismatch"):
         concat_videos(tmp_path / "o2.avi",
                       [tmp_path / "ffv1.avi", tmp_path / "small.avi"])
+
+
+@pytest.mark.skipif(not videoio.available(), reason="native lib unavailable")
+def test_writer_rejects_non_uint8(tmp_path):
+    """Non-uint8 frames must raise, not be unsafely cast (float -1.0 ->
+    255 would write silently corrupt stego) — round-5 native review."""
+    from stegotpu.native.videoio import NativeVideoWriter
+
+    with NativeVideoWriter(tmp_path / "o.avi", 64, 48, 24.0) as w:
+        ok = np.zeros((2, 48, 64), np.uint8)
+        w.write_gray(ok)
+        with pytest.raises(ValueError, match="uint8"):
+            w.write_gray(ok.astype(np.float32))
+        with pytest.raises(ValueError, match="uint8"):
+            w.write(np.zeros((1, 48, 64, 3), np.int16))
