@@ -131,9 +131,17 @@ def save_keypair_pem(
     UNENCRYPTED; that stays the default for wire-compatibility, but
     `passphrase` opts into encrypted PKCS8 at rest, the right choice for a
     serving daemon's key (genkey --passphrase))."""
+    if passphrase is not None and not passphrase:
+        # fail-closed: a caller passing an empty passphrase believes the
+        # key will be protected; silently writing NoEncryption would be
+        # fail-open (cli.py guards interactively, the library must too)
+        raise ValueError("empty passphrase; pass None for an unencrypted key")
     enc = (serialization.BestAvailableEncryption(passphrase)
            if passphrase else serialization.NoEncryption())
-    Path(private_path).write_bytes(
+    private_path = Path(private_path)
+    private_path.touch(mode=0o600, exist_ok=True)
+    private_path.chmod(0o600)  # owner-only even for a pre-existing file
+    private_path.write_bytes(
         priv.private_bytes(
             encoding=serialization.Encoding.PEM,
             format=serialization.PrivateFormat.PKCS8,
@@ -157,8 +165,6 @@ def load_private_pem(path: str | Path,
     STEGOTPU_KEY_PASSPHRASE environment variable is consulted — this is how
     every existing caller (CLI, GUI, serving daemon) transparently supports
     at-rest-encrypted keys without plumbing a secret through argv."""
-    import os
-
     data = Path(path).read_bytes()
     try:
         return serialization.load_pem_private_key(data, password=passphrase)
@@ -208,7 +214,21 @@ def setup_receiver_keys(
             )
         )
     priv = load_private_pem(private_path, passphrase)
-    pub = load_public_pem(public_path)
+    try:
+        pub = load_public_pem(public_path)
+    except ValueError:
+        # corrupt/unparseable public PEM beside a valid private PEM: the
+        # private PEM is the source of truth (same policy as the mismatch
+        # branch below) — repair rather than crash
+        log.warning("public PEM %s is unreadable — rewriting it from the "
+                    "private key", public_path)
+        pub = priv.public_key()
+        public_path.write_bytes(
+            pub.public_bytes(
+                encoding=serialization.Encoding.PEM,
+                format=serialization.PublicFormat.SubjectPublicKeyInfo,
+            )
+        )
     # a stale/mismatched public PEM beside a valid private PEM would silently
     # produce stego videos the private key cannot decrypt — rewrite it from
     # the private key (the private PEM is the source of truth)

@@ -137,6 +137,12 @@ def seal_payload(
 
     (reference: embed_process.py:30-86, stages 1-2)
     """
+    if width == 0 or height == 0:
+        # the parser rejects 0x0 dims as corrupt (parse_header_bits), so a
+        # zero-dim embed would produce a payload NO extractor accepts, with
+        # a misleading wrong-key diagnosis at extract time — fail at seal
+        raise ValueError(f"secret dimensions {width}x{height} invalid: "
+                         "both must be nonzero")
     sha3 = crypto.sha3_256(image_bytes)
     eph_priv, eph_pub = crypto.generate_keypair(rng)
     receiver_pub = crypto.deserialize_public_compressed(receiver_pub_compressed)

@@ -99,6 +99,7 @@ class EmbedResult:
     first_original_gray: np.ndarray | None = None
     first_stego_gray: np.ndarray | None = None
     residual_bits: int = 0  # verified mode: unrepairable slots (0 = BER-0)
+    error: str | None = None  # human-readable failure reason (success=False)
 
     @property
     def first_frame_psnr(self) -> float | None:
@@ -155,6 +156,12 @@ def embed_image_in_video(
     payload so separate runs embed the identical crypto stream.
     """
     width, height, img_bits = image_codec.image_to_bits(secret_image)
+    if (width, height) == payload_mod.RAW_DATA_DIMS:
+        # 65535x65535 is the reserved raw-bytes marker: an image with
+        # exactly those dims would be misparsed as a raw payload on extract
+        raise ValueError(
+            f"secret dimensions {width}x{height} collide with the reserved "
+            "raw-data marker; use embed-data for byte payloads")
     img_bytes = bits_to_bytes(img_bits)
     return _embed_payload(video_in, img_bytes, width, height, video_out,
                           receiver_pub_compressed, config, batch_frames, rng,
@@ -213,10 +220,14 @@ def _embed_payload(
     with VideoReader(video_in) as reader:
         h8, w8 = reader.info.cropped
         if h8 == 0 or w8 == 0:
-            return EmbedResult(False, None, total, 0, 0)
+            return EmbedResult(False, None, total, 0, 0,
+                               error="cover frames smaller than one 8x8 "
+                                     "block after cropping")
         cap_bits = config.frame_capacity_bits(h8, w8)
         if cap_bits == 0:
-            return EmbedResult(False, None, total, 0, 0)
+            return EmbedResult(False, None, total, 0, 0,
+                               error="zero embedding capacity per frame "
+                                     "(num_ac_coeffs/frame size)")
         delta = jnp.float32(config.delta)
 
         run_embed = run_embed_verified = None
@@ -419,10 +430,16 @@ def _embed_payload(
             "verified embed FAILED: %d unrepairable payload bits "
             "(use allow_residual to emit anyway)", residual_total,
         )
-        return EmbedResult(False, out_path, total, cursor, frames_seen,
-                           first_orig, first_stego, residual_total)
-    return EmbedResult(success, out_path if success else None, total, cursor,
-                       frames_seen, first_orig, first_stego, residual_total)
+        return EmbedResult(
+            False, out_path, total, cursor, frames_seen, first_orig,
+            first_stego, residual_total,
+            error=f"verified embed: {residual_total} unrepairable payload "
+                  "bits (use allow_residual to emit anyway)")
+    return EmbedResult(
+        success, out_path if success else None, total, cursor, frames_seen,
+        first_orig, first_stego, residual_total,
+        error=None if success else
+        f"video ended before full payload embedded ({cursor}/{total} bits)")
 
 
 class _EagerBitBuf:

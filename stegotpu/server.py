@@ -46,6 +46,21 @@ log = get_logger(__name__)
 _MAX_BODY = 1 << 20  # JSON control messages only; files travel by path
 
 
+class _MissingField(Exception):
+    """A required request field is absent (client error, -> 400)."""
+
+
+def _require(req: dict, key: str):
+    """Fetch a required field; absence is a CLIENT error. (A bare
+    req[key] would raise KeyError, indistinguishable from a KeyError bug
+    deep inside a pipeline call — which must surface as a 500, not be
+    misreported as 'missing required field'.)"""
+    try:
+        return req[key]
+    except KeyError:
+        raise _MissingField(key) from None
+
+
 def _config_from(req: dict) -> StegoConfig:
     return StegoConfig(
         delta=int(req.get("delta", 20)),
@@ -65,7 +80,8 @@ def _do_embed(req: dict) -> dict:
     pub = crypto.serialize_public_compressed(
         crypto.load_public_pem(req.get("public_key", "bob_public_key.pem")))
     res = embed_image_in_video(
-        req["cover"], req["secret"], req["output"], pub, _config_from(req),
+        _require(req, "cover"), _require(req, "secret"),
+        _require(req, "output"), pub, _config_from(req),
         batch_frames=int(req.get("batch", 8)),
     )
     out = {
@@ -76,6 +92,8 @@ def _do_embed(req: dict) -> dict:
         "frames_used": res.frames_used,
         "residual_bits": res.residual_bits,
     }
+    if res.error:
+        out["error"] = res.error
     psnr = res.first_frame_psnr
     if psnr is not None:
         out["first_frame_psnr_db"] = round(psnr, 2)
@@ -90,7 +108,7 @@ def _do_extract(req: dict) -> dict:
         req.get("private_key", "bob_private_key.pem"))
     cfg = _config_from(req)
     res = extract_image_from_video(
-        req["stego"], priv, cfg, req.get("output"),
+        _require(req, "stego"), priv, cfg, req.get("output"),
         batch_frames=int(req.get("batch", 8)),
     )
     recovered = None
@@ -100,11 +118,11 @@ def _do_extract(req: dict) -> dict:
         # steganalysis.recover_params is the shared core
         from stegotpu.steganalysis import recover_params
 
-        new_cfg, recovery_note = recover_params(req["stego"], cfg)
+        new_cfg, recovery_note = recover_params(_require(req, "stego"), cfg)
         if new_cfg is not None:
             cfg = new_cfg
             res = extract_image_from_video(
-                req["stego"], priv, cfg, req.get("output"),
+                _require(req, "stego"), priv, cfg, req.get("output"),
                 batch_frames=int(req.get("batch", 8)),
             )
             recovered = {"delta": cfg.delta, "coeffs": cfg.num_ac_coeffs}
@@ -132,7 +150,7 @@ def _do_inspect(req: dict) -> dict:
     from stegotpu.pipeline import inspect_stego_header
 
     try:
-        d = inspect_stego_header(req["stego"], _config_from(req))
+        d = inspect_stego_header(_require(req, "stego"), _config_from(req))
     except ValueError as e:
         return {"success": False, "error": str(e)}
     return {"success": True, **d}
@@ -141,7 +159,7 @@ def _do_inspect(req: dict) -> dict:
 def _do_capacity(req: dict) -> dict:
     from stegotpu.evaluation import capacity_report
 
-    r = capacity_report(req["video"], _config_from(req))
+    r = capacity_report(_require(req, "video"), _config_from(req))
     return {"success": True, "width": r.width, "height": r.height,
             "frames": r.frames, "qim_bits_per_frame": r.qim_bits_per_frame,
             "total_qim_bits": r.total_qim_bits,
@@ -155,7 +173,7 @@ def _do_steganalyze(req: dict) -> dict:
         read_gray_frames,
     )
 
-    gray = read_gray_frames(req["video"], int(req.get("max_frames", 4)))
+    gray = read_gray_frames(_require(req, "video"), int(req.get("max_frames", 4)))
     rep = analyze_frames(gray, num_ac=int(req.get("coeffs", 10)))
     out = {"success": True, "verdict": rep.verdict, "detected": rep.detected,
            "detection_ratio": round(rep.detection_ratio, 3)}
@@ -172,6 +190,10 @@ _ROUTES = {"/embed": _do_embed, "/extract": _do_extract,
 
 class _Handler(BaseHTTPRequestHandler):
     server_version = "stegotpu"
+    # socket timeout: a client that sends headers claiming a body and then
+    # stalls must not pin a handler thread forever (rfile reads honor this
+    # via the connection timeout socketserver applies from this attribute)
+    timeout = 120
     _lock = threading.Lock()  # one pipeline at a time (see module docstring)
 
     def log_message(self, fmt, *args):  # route through our logger
@@ -186,6 +208,11 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
+        # same anti-rebinding gate as POST: even read-only endpoints should
+        # not be fingerprintable by a rebound page
+        if not self._host_allowed():
+            self._reply(403, {"error": "forbidden Host header"})
+            return
         if self.path == "/healthz":
             self._reply(200, {"ok": True, "endpoints": sorted(_ROUTES)})
         else:
@@ -227,14 +254,19 @@ class _Handler(BaseHTTPRequestHandler):
             if length > _MAX_BODY:
                 self._reply(413, {"error": "request body too large"})
                 return
+            if length < 0:
+                # read(-1) would block until the CLIENT closes — with a
+                # lying peer that pins this handler thread forever
+                self._reply(400, {"error": "invalid Content-Length"})
+                return
             req = json.loads(self.rfile.read(length) or b"{}")
             if not isinstance(req, dict):
                 raise ValueError("request body must be a JSON object")
             with self._lock:
                 out = handler(req)
             self._reply(200 if out.get("success", True) else 422, out)
-        except KeyError as e:
-            self._reply(400, {"error": f"missing required field: {e}"})
+        except _MissingField as e:
+            self._reply(400, {"error": f"missing required field: '{e}'"})
         except (OSError, ValueError) as e:
             self._reply(400, {"error": str(e)})
         except Exception as e:  # surface, don't kill the daemon thread

@@ -302,3 +302,65 @@ def test_procs_extract_seek_fallback(tmp_path, monkeypatch):
     assert failed_seeks, "fallback never exercised: no worker sought past 0"
     np.testing.assert_array_equal(ext.pixels,
                                   load_image_gray(tmp_path / "s.png"))
+
+
+def test_private_pem_written_owner_only(tmp_path):
+    """genkey-path private PEMs must be 0600 (round-5 crypto review)."""
+    import stat
+
+    crypto.setup_receiver_keys(tmp_path / "k.pem", tmp_path / "p.pem")
+    mode = stat.S_IMODE((tmp_path / "k.pem").stat().st_mode)
+    assert mode == 0o600, oct(mode)
+
+
+def test_setup_keys_repairs_corrupt_public_pem(tmp_path):
+    """A corrupt public PEM beside a valid private PEM is repaired from the
+    private key (the declared source of truth), not crashed on."""
+    _, pub_c1 = crypto.setup_receiver_keys(tmp_path / "k.pem",
+                                           tmp_path / "p.pem")
+    (tmp_path / "p.pem").write_bytes(b"-----BEGIN GARBAGE-----\nxx\n")
+    _, pub_c2 = crypto.setup_receiver_keys(tmp_path / "k.pem",
+                                           tmp_path / "p.pem")
+    assert pub_c1 == pub_c2
+
+
+def test_empty_passphrase_fails_closed(tmp_path):
+    """passphrase=b'' must raise, not silently write an unencrypted key."""
+    priv, _ = crypto.generate_keypair(np.random.default_rng(1))
+    with pytest.raises(ValueError, match="empty passphrase"):
+        crypto.save_keypair_pem(priv, tmp_path / "k.pem", tmp_path / "p.pem",
+                                passphrase=b"")
+
+
+def test_seal_payload_rejects_zero_dims():
+    """0-dim payloads parse-fail on EVERY extractor with a misleading
+    wrong-key diagnosis — sealing must reject them up front."""
+    from stegotpu.payload import seal_payload
+
+    _, pub = crypto.generate_keypair(np.random.default_rng(2))
+    pub_c = crypto.serialize_public_compressed(pub)
+    with pytest.raises(ValueError, match="nonzero"):
+        seal_payload(b"x", 0, 16, pub_c)
+    with pytest.raises(ValueError, match="nonzero"):
+        seal_payload(b"x", 16, 0, pub_c)
+
+
+def test_embed_result_carries_failure_reason(tmp_path):
+    """EmbedResult.error names why an embed failed (round-5 server review:
+    the daemon's 422 used to carry no reason)."""
+    from stegotpu import fixtures
+    from stegotpu.config import StegoConfig
+    from stegotpu.pipeline import embed_image_in_video
+
+    # payload far exceeding a tiny cover's capacity
+    fixtures.make_secret_image(tmp_path / "s.png", 128, 128, kind="noise",
+                               seed=3)
+    fixtures.make_cover_video(tmp_path / "c.mp4", 64, 64, frames=3,
+                              kind="moving", seed=4)
+    _, pub_c = crypto.setup_receiver_keys(tmp_path / "k.pem",
+                                          tmp_path / "p.pem")
+    res = embed_image_in_video(tmp_path / "c.mp4", tmp_path / "s.png",
+                               tmp_path / "st", pub_c, StegoConfig(),
+                               batch_frames=2)
+    assert not res.success
+    assert res.error and "payload" in res.error
