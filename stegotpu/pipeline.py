@@ -85,6 +85,19 @@ def _timed_iter(iterable, timer, name: str):
         yield item
 
 
+def _pad_batch(gray: np.ndarray, batch_frames: int, h8: int, w8: int
+               ) -> np.ndarray:
+    """Zero-pad a tail batch UP TO batch_frames frames (stable jit shape).
+
+    Pad frames must be APPENDED, never prepended: every consumer slices the
+    device result back with [:n]."""
+    n = gray.shape[0]
+    if n == batch_frames:
+        return gray
+    return np.concatenate(
+        [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)])
+
+
 def _stage(timer, name: str):
     return timer.stage(name) if timer is not None else contextlib.nullcontext()
 
@@ -317,7 +330,8 @@ def _embed_payload(
         # compute with host decode (Prefetcher) and FFV1 encode. Possible
         # because bits-per-frame is host-computable (capacity is static), so
         # the payload cursor never waits on the device.
-        pending: tuple | None = None  # (batch_bgr, gray, n, bpf_np, stego_dev)
+        # (batch_bgr, gray, n, bpf_np, stego_dev, is_first)
+        pending: tuple | None = None
 
         def drain(writer, item):
             nonlocal first_orig, first_stego
@@ -348,68 +362,78 @@ def _embed_payload(
         # gray_switch turns the conversion off for the passthrough tail
         # (post-payload frames only need BGR).
         gray_switch = GraySwitch()
-        with VideoWriter(out_path, reader.info.fps, w8, h8, config.codec) as writer, \
-                Prefetcher.maybe(reader.batches(batch_frames, mode="both",
-                                                gray_switch=gray_switch)) as prefetched:
-            for batch_bgr, gray in _timed_iter(prefetched, timer, "decode_wait"):
-                n = batch_bgr.shape[0]
-                if frames_seen + n <= lo:  # pre-segment: decode and discard
-                    frames_seen += n
-                    continue
-                if cursor < total:
-                    if n < batch_frames:  # stable jit shape for the tail batch
-                        gray = np.concatenate(
-                            [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
-                        )
-                    remaining = total - cursor
-                    seg = pad_bits(
-                        all_bits[cursor : cursor + batch_frames * cap_bits],
-                        batch_frames * cap_bits,
-                    ).reshape(batch_frames, cap_bits)
-                    if config.verified_embed:
-                        with _stage(timer, "device_dispatch"):
-                            stego_dev, _bpf_dev, residual = run_embed_verified(
-                                gray, seg, remaining)
-                        if int(residual):
-                            residual_total += int(residual)
-                            log.error(
-                                "verified embed: %d unrepairable slots "
-                                "(extremely saturated cover)", int(residual),
-                            )
+        try:
+            with VideoWriter(out_path, reader.info.fps, w8, h8,
+                             config.codec) as writer, \
+                    Prefetcher.maybe(
+                        reader.batches(batch_frames, mode="both",
+                                       gray_switch=gray_switch)) as prefetched:
+                for batch_bgr, gray in _timed_iter(prefetched, timer,
+                                                   "decode_wait"):
+                    n = batch_bgr.shape[0]
+                    if frames_seen + n <= lo:  # pre-segment: decode and discard
+                        frames_seen += n
+                        continue
+                    if cursor < total:
+                        gray = _pad_batch(gray, batch_frames, h8, w8)
+                        remaining = total - cursor
+                        seg = pad_bits(
+                            all_bits[cursor : cursor + batch_frames * cap_bits],
+                            batch_frames * cap_bits,
+                        ).reshape(batch_frames, cap_bits)
+                        if config.verified_embed:
+                            with _stage(timer, "device_dispatch"):
+                                stego_dev, _bpf_dev, residual = run_embed_verified(
+                                    gray, seg, remaining)
+                            if int(residual):
+                                residual_total += int(residual)
+                                log.error(
+                                    "verified embed: %d unrepairable slots "
+                                    "(extremely saturated cover)", int(residual),
+                                )
+                        else:
+                            with _stage(timer, "device_dispatch"):
+                                stego_dev, _bpf_dev = run_embed(gray, seg, remaining)
+                        # host-side bits-per-frame (identical to the device calc)
+                        bpf = np.clip(
+                            remaining - np.arange(n, dtype=np.int64) * cap_bits,
+                            0, cap_bits,
+                        ).astype(np.int64)
+                        if pending is not None:
+                            drain(writer, pending)
+                            pending = None
+                        pending = (batch_bgr, gray, n, bpf, stego_dev,
+                                   frames_seen == lo and n > 0)
+                        cursor += int(bpf.sum())
+                        # live progress (reference: per-frame prints,
+                        # embed_process.py:129 — streamed into the GUI log)
+                        log.debug("embed progress: %d/%d bits, frame %d",
+                                  min(cursor, total), total, frames_seen + n)
                     else:
-                        with _stage(timer, "device_dispatch"):
-                            stego_dev, _bpf_dev = run_embed(gray, seg, remaining)
-                    # host-side bits-per-frame (identical to the device calc)
-                    bpf = np.clip(
-                        remaining - np.arange(n, dtype=np.int64) * cap_bits,
-                        0, cap_bits,
-                    ).astype(np.int64)
-                    if pending is not None:
-                        drain(writer, pending)
-                        pending = None
-                    pending = (batch_bgr, gray, n, bpf, stego_dev,
-                               frames_seen == lo and n > 0)
-                    cursor += int(bpf.sum())
-                    # live progress (reference: per-frame prints,
-                    # embed_process.py:129 — streamed into the GUI log)
-                    log.debug("embed progress: %d/%d bits, frame %d",
-                              min(cursor, total), total, frames_seen + n)
-                else:
-                    # Payload complete: stream remaining frames as original
-                    # color (reference: embed_process.py:134-139) — but only
-                    # after the in-flight stego batch is written, preserving
-                    # frame order.
-                    gray_switch.on = False  # tail batches skip gray convert
-                    if pending is not None:
-                        drain(writer, pending)
-                        pending = None
-                    with _stage(timer, "encode"):
-                        writer.write_bgr_batch(batch_bgr)
-                frames_seen += n
-                if hi is not None and frames_seen >= hi:
-                    break
-            if pending is not None:
-                drain(writer, pending)
+                        # Payload complete: stream remaining frames as original
+                        # color (reference: embed_process.py:134-139) — but only
+                        # after the in-flight stego batch is written, preserving
+                        # frame order.
+                        gray_switch.on = False  # tail batches skip gray convert
+                        if pending is not None:
+                            drain(writer, pending)
+                            pending = None
+                        with _stage(timer, "encode"):
+                            writer.write_bgr_batch(batch_bgr)
+                    frames_seen += n
+                    if hi is not None and frames_seen >= hi:
+                        break
+                if pending is not None:
+                    drain(writer, pending)
+        except OSError as e:
+            # corrupt/truncated cover mid-decode: the same structured
+            # failure contract extract_image_from_video honors for the
+            # identical condition — the partial output stays on disk for
+            # forensics, and the result carries the counters
+            return EmbedResult(
+                False, out_path, total, cursor, frames_seen, first_orig,
+                first_stego, residual_total,
+                error=f"video read failed: {e}")
 
     if frame_range is None:
         success = cursor >= total
@@ -682,10 +706,7 @@ def extract_image_from_video(
                     break
                 n = gray.shape[0]
                 frames_read += n
-                if n < batch_frames:
-                    gray = np.concatenate(
-                        [gray, np.zeros((batch_frames - n, h8, w8), np.uint8)]
-                    )
+                gray = _pad_batch(gray, batch_frames, h8, w8)
                 with _stage(timer, "device_dispatch"):
                     dev = run_extract(gray)
                 buf.add(n, dev)
@@ -714,12 +735,7 @@ def extract_image_from_video(
                     for gray in _timed_iter(prefetched, timer, "decode_wait"):
                         n = gray.shape[0]
                         frames_read += n
-                        if n < batch_frames:
-                            gray = np.concatenate(
-                                [gray,
-                                 np.zeros((batch_frames - n, h8, w8),
-                                          np.uint8)]
-                            )
+                        gray = _pad_batch(gray, batch_frames, h8, w8)
                         with _stage(timer, "device_dispatch"):
                             dev = run_extract(gray)
                         if pending is not None:
@@ -810,7 +826,15 @@ def inspect_stego_header(
     cfg = config
     with VideoReader(stego_video) as reader:
         h8, w8 = reader.info.cropped
+        if h8 == 0 or w8 == 0:
+            # same guard as extract_image_from_video: a sub-8px video would
+            # otherwise fail with a backend-dependent crop error (native) or
+            # scan every frame at 0 bits each (cv2) before failing
+            raise ValueError("video dimensions too small (no full 8x8 block)")
         cap_bits = cfg.frame_capacity_bits(h8, w8)
+        if cap_bits == 0:
+            raise ValueError(
+                "zero embedding capacity per frame for these parameters")
         collected: list[np.ndarray] = []
         collected_bits = 0
         parsed = None

@@ -264,6 +264,14 @@ class VideoWriter:
         Path(self.path).parent.mkdir(parents=True, exist_ok=True)
         self._native = None
         self._out = None
+        self._frames_written = 0
+        if codec not in self._NATIVE_CODECS and backend == "native":
+            # an EXPLICIT native request must not silently fall back (the
+            # reader raises for the same request; the writer used to
+            # short-circuit on the codec check before _use_native could)
+            raise ValueError(
+                f"native video backend does not support codec {codec!r}; "
+                f"supported: {sorted(self._NATIVE_CODECS)}")
         if codec in self._NATIVE_CODECS and _use_native(backend):
             self._native = native_io.NativeVideoWriter(
                 self.path, width, height, fps,
@@ -282,6 +290,7 @@ class VideoWriter:
             self._native.write(frame)
         else:
             self._out.write(frame)
+        self._frames_written += 1
 
     def write_bgr_batch(self, frames: np.ndarray) -> None:
         if self._native is not None:
@@ -289,6 +298,7 @@ class VideoWriter:
         else:
             for f in frames:
                 self._out.write(np.ascontiguousarray(f))
+        self._frames_written += len(frames)
 
     def write_gray_batch(self, frames_gray: np.ndarray) -> None:
         """Write gray frames replicated to BGR (reference: embed_process.py:126).
@@ -302,6 +312,7 @@ class VideoWriter:
                 self._out.write(
                     cv2.cvtColor(np.ascontiguousarray(f), cv2.COLOR_GRAY2BGR)
                 )
+        self._frames_written += len(frames_gray)
 
     def release(self) -> None:
         if self._native is not None:
@@ -310,12 +321,31 @@ class VideoWriter:
         if self._out is not None:
             self._out.release()
             self._out = None
+            # cv2.VideoWriter.write returns no status: a disk-full or dead
+            # encoder is invisible per-write (the native backend raises).
+            # Fail-closed at close: the container must report the frame
+            # count we wrote (skip when the container reports none).
+            if self._frames_written:
+                cap = cv2.VideoCapture(self.path)
+                n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) if cap.isOpened() \
+                    else -1
+                cap.release()
+                if n >= 0 and n != self._frames_written:
+                    raise IOError(
+                        f"cv2 writer emitted {n} of {self._frames_written} "
+                        f"frames to '{self.path}' (disk full or encoder "
+                        "failure?)")
 
     def __enter__(self) -> "VideoWriter":
         return self
 
     def __exit__(self, *exc) -> None:
-        self.release()
+        try:
+            self.release()
+        except IOError:
+            if exc and exc[0] is not None:
+                return  # don't mask the exception already propagating
+            raise
 
 
 class GraySwitch:
@@ -440,8 +470,13 @@ class Prefetcher:
         return self
 
     def __next__(self):
+        if getattr(self, "_exhausted", False):
+            # iterator protocol: once exhausted, KEEP raising StopIteration
+            # (a second get() on the drained queue would block forever)
+            raise StopIteration
         item = self._q.get()
         if item is self._DONE:
+            self._exhausted = True
             self._thread.join()
             if self._err is not None:
                 raise self._err

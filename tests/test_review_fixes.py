@@ -364,3 +364,45 @@ def test_embed_result_carries_failure_reason(tmp_path):
                                batch_frames=2)
     assert not res.success
     assert res.error and "payload" in res.error
+
+
+def test_prefetcher_stays_exhausted():
+    """An exhausted Prefetcher must keep raising StopIteration, not block
+    forever on its drained queue (iterator protocol; round-5 review)."""
+    from stegotpu.video import Prefetcher
+
+    p = Prefetcher(iter([1, 2]))
+    assert list(p) == [1, 2]
+    with pytest.raises(StopIteration):
+        next(p)
+    with pytest.raises(StopIteration):  # and again
+        next(p)
+    p.close()
+
+
+def test_writer_explicit_native_rejects_unsupported_codec(tmp_path):
+    """backend='native' with a codec the native layer lacks must raise,
+    not silently fall back to cv2 (the reader already raises)."""
+    from stegotpu.video import VideoWriter
+
+    with pytest.raises(ValueError, match="native video backend"):
+        VideoWriter(tmp_path / "x.avi", 24.0, 64, 48, codec="MJPG",
+                    backend="native")
+
+
+def test_inspect_rejects_tiny_video(tmp_path, rng):
+    """inspect_stego_header guards sub-8px videos and zero capacity like
+    extract does (round-5 review: backend-dependent crop error / full-video
+    scan)."""
+    import cv2
+
+    from stegotpu.config import StegoConfig
+    from stegotpu.pipeline import inspect_stego_header
+
+    out = cv2.VideoWriter(str(tmp_path / "tiny.avi"),
+                          cv2.VideoWriter_fourcc(*"FFV1"), 24.0, (4, 4))
+    for _ in range(3):
+        out.write(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8))
+    out.release()
+    with pytest.raises(ValueError, match="too small"):
+        inspect_stego_header(tmp_path / "tiny.avi", StegoConfig())
