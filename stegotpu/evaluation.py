@@ -186,6 +186,8 @@ class CapacityReport:
     naive_bits_per_frame: int     # the reference's 1 bit/px figure (for parity)
     frames: int
     total_qim_bits: int
+    # default = payload.FIXED_HEADER_BITS; capacity_report passes the
+    # config-aware value (2*(dims_bits - 16) wider for nonstandard dims)
     payload_header_bits: int = 976
     max_secret_pixels: int = 0    # gray pixels embeddable across the video
 
@@ -206,12 +208,18 @@ def capacity_report(video_path: str | Path, config: StegoConfig = StegoConfig())
         n = reader.info.frame_count
     h8, w8 = crop_dims(h, w)
     qim = config.frame_capacity_bits(h8, w8)
+    from stegotpu.payload import DIMS_BITS, FIXED_HEADER_BITS
+
     return CapacityReport(
         width=w, height=h,
         qim_bits_per_frame=qim,
         naive_bits_per_frame=h8 * w8,
         frames=n,
         total_qim_bits=qim * max(n, 0),
+        # derived, not the 976 literal: nonstandard dims_bits widens the
+        # two dimension fields
+        payload_header_bits=FIXED_HEADER_BITS
+        + 2 * (config.dims_bits - DIMS_BITS),
     )
 
 

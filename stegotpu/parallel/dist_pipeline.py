@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from stegotpu.config import StegoConfig
-from stegotpu.image import bytes_to_pixels, image_to_bits, save_image_gray
+from stegotpu.image import image_to_bits
 from stegotpu.bitstream import bits_to_bytes
 from stegotpu import payload as payload_mod
 from stegotpu.utils.logging import get_logger
@@ -130,7 +130,10 @@ def distributed_embed(
     if int(ok_pre.min()) == 0:
         if preflight_error is not None:
             raise preflight_error
-        return (EmbedResult(False, None, 0, 0, 0) if pid == 0 else None)
+        return (EmbedResult(False, None, 0, 0, 0,
+                            error="preflight failed on a peer host (see "
+                                  "its log)")
+                if pid == 0 else None)
 
     all_bits = _broadcast_bits(all_bits)
     bounds = segment_bounds(frame_count, nproc, batch_frames)
@@ -164,9 +167,11 @@ def distributed_embed(
     # capacity must not substitute for it)
     ok_local = 1 if (seg_res is None or seg_res.success) else 0
     stats = np.asarray(multihost_utils.process_allgather(np.asarray(
-        [ok_local, seg_res.bits_embedded if seg_res else 0], np.int64)))
+        [ok_local, seg_res.bits_embedded if seg_res else 0,
+         seg_res.residual_bits if seg_res else 0], np.int64)))
     ok_all = int(stats[:, 0].min())
     cursor_global = int(stats[:, 1].max())
+    residual_global = int(stats[:, 2].sum())
     multihost_utils.sync_global_devices("stegotpu-dist-embed-segments")
 
     if pid != 0:
@@ -185,7 +190,11 @@ def distributed_embed(
             Path(s).unlink(missing_ok=True)
         if seg_error is not None:  # cleanup happened first; now surface it
             raise seg_error
-        return EmbedResult(False, None, total, cursor_global, frame_count)
+        return EmbedResult(
+            False, None, total, cursor_global, frame_count,
+            residual_bits=residual_global,
+            error=f"distributed embed failed ({cursor_global}/{total} "
+                  f"bits; segment ok={ok_all})")
     from stegotpu.native.videoio import concat_videos
 
     concat_videos(out_path, segs)
@@ -196,6 +205,7 @@ def distributed_embed(
         True, str(out_path), total, cursor_global, frame_count,
         seg_res.first_original_gray if seg_res else None,
         seg_res.first_stego_gray if seg_res else None,
+        residual_bits=residual_global,  # verified mode: never silently 0
     )
 
 
@@ -218,7 +228,7 @@ def distributed_extract(
     from jax.experimental import multihost_utils
 
     from stegotpu.ops.dispatch import extract_fn
-    from stegotpu.payload import NeedMoreBits, open_payload, parse_payload_bits
+    from stegotpu.payload import NeedMoreBits, parse_payload_bits
     from stegotpu.pipeline import ExtractResult, _mesh_setup
     from stegotpu.video import VideoReader
 
@@ -369,31 +379,7 @@ def distributed_extract(
         return ExtractResult(False, error=parse_error,
                              frames_read=frames_done)
     frame_count = frames_done  # frames actually gathered (reporting)
-    try:
-        plaintext, hash_ok = open_payload(parts, receiver_private)
-    except ValueError as e:
-        return ExtractResult(False, parts=parts, frames_read=frame_count,
-                             error=f"payload fields invalid ({e})")
-    if plaintext is None:
-        return ExtractResult(False, parts=parts, frames_read=frame_count,
-                             error="AES-GCM authentication failed")
-    if parts.is_raw_data:
-        out = None
-        if output_image is not None and pid == 0:
-            Path(output_image).write_bytes(plaintext)
-            out = str(output_image)
-        return ExtractResult(True, data=plaintext, hash_ok=hash_ok,
-                             parts=parts, output_path=out,
-                             frames_read=frame_count)
-    try:
-        pixels = bytes_to_pixels(plaintext, parts.secret_width,
-                                 parts.secret_height)
-    except ValueError as e:
-        return ExtractResult(False, parts=parts, hash_ok=hash_ok,
-                             error=str(e), frames_read=frame_count)
-    out = None
-    if output_image is not None and pid == 0:
-        save_image_gray(pixels, output_image)
-        out = str(output_image)
-    return ExtractResult(True, pixels=pixels, hash_ok=hash_ok, parts=parts,
-                         output_path=out, frames_read=frame_count)
+    from stegotpu.pipeline import finalize_extract
+
+    return finalize_extract(parts, receiver_private, output_image,
+                            frame_count, write_output=(pid == 0))

@@ -71,7 +71,8 @@ def host_batch_slice(mesh: Mesh, batch_global: int) -> tuple[int, int]:
     nproc = jax.process_count()
     if batch_global % nproc:
         raise ValueError(
-            f"global batch {batch_global} must divide process count {nproc}"
+            f"process count {nproc} must divide the global batch {batch_global} "
+            f"(pick a batch that is a multiple of {nproc})"
         )
     per = batch_global // nproc
     pid = jax.process_index()

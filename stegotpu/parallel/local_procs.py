@@ -23,7 +23,6 @@ the speedup well below N on decode-bound paths).
 
 from __future__ import annotations
 
-import logging
 import os
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -34,9 +33,7 @@ import numpy as np
 from stegotpu import payload as payload_mod
 from stegotpu.bitstream import bits_to_bytes
 from stegotpu.config import StegoConfig
-from stegotpu.image import bytes_to_pixels, image_to_bits, save_image_gray
-
-log = logging.getLogger("stegotpu")
+from stegotpu.image import image_to_bits
 from stegotpu.parallel.dist_pipeline import segment_bounds
 from stegotpu.utils.logging import get_logger
 
@@ -181,7 +178,9 @@ def _parallel_embed_payload(
         frame_count = probe.info.frame_count
         h8, w8 = probe.info.cropped
     if config.frame_capacity_bits(h8, w8) == 0:
-        return EmbedResult(False, None, total, 0, 0)
+        return EmbedResult(False, None, total, 0, 0,
+                           error="zero embedding capacity per frame "
+                                 "(num_ac_coeffs/frame size)")
 
     # resolve 'auto' BEFORE demanding the native concat layer or a
     # container frame count: when it resolves to 1 (1-core host, or no
@@ -233,10 +232,16 @@ def _parallel_embed_payload(
     if not ok or (residual and not config.allow_residual):
         cleanup()
         first = results.get(live[0][0])
-        return EmbedResult(False, None, total, bits_embedded, frame_count,
-                           first.first_original_gray if first else None,
-                           first.first_stego_gray if first else None,
-                           residual)
+        seg_errs = "; ".join(r.error for r in results.values() if r.error)
+        return EmbedResult(
+            False, None, total, bits_embedded, frame_count,
+            first.first_original_gray if first else None,
+            first.first_stego_gray if first else None, residual,
+            error=seg_errs or (
+                f"verified embed: {residual} unrepairable payload bits"
+                if residual else
+                f"video ended before full payload embedded "
+                f"({bits_embedded}/{total} bits)"))
     try:
         concat_videos(out_path, [str(seg_paths[i]) for i, _, _ in live])
     finally:
@@ -313,7 +318,7 @@ def parallel_extract(
 
     procs: worker count or 'auto'; mode: 'thread'|'spawn' (parallel_embed).
     """
-    from stegotpu.payload import NeedMoreBits, open_payload, parse_payload_bits
+    from stegotpu.payload import NeedMoreBits, parse_payload_bits
     from stegotpu.pipeline import ExtractResult, inspect_stego_header
     from stegotpu.video import VideoReader
 
@@ -363,34 +368,7 @@ def parallel_extract(
             error=f"video ended before payload complete ({have.size} bits read)")
     except ValueError as e:
         return ExtractResult(False, error=str(e), frames_read=frames_needed)
-    try:
-        plaintext, hash_ok = open_payload(parts, receiver_private)
-    except ValueError as e:
-        return ExtractResult(False, parts=parts, frames_read=frames_needed,
-                             error=f"payload fields invalid ({e})")
-    if plaintext is None:
-        return ExtractResult(False, parts=parts, frames_read=frames_needed,
-                             error="AES-GCM authentication failed")
-    if not hash_ok:
-        log.warning("SHA3-256 mismatch: image may be corrupt "
-                    "(continuing, like reference)")
-    if parts.is_raw_data:
-        out = None
-        if output_image is not None:
-            Path(output_image).write_bytes(plaintext)
-            out = str(output_image)
-        return ExtractResult(True, data=plaintext, hash_ok=hash_ok,
-                             parts=parts, output_path=out,
-                             frames_read=frames_needed)
-    try:
-        pixels = bytes_to_pixels(plaintext, parts.secret_width,
-                                 parts.secret_height)
-    except ValueError as e:
-        return ExtractResult(False, parts=parts, hash_ok=hash_ok,
-                             error=str(e), frames_read=frames_needed)
-    out = None
-    if output_image is not None:
-        save_image_gray(pixels, output_image)
-        out = str(output_image)
-    return ExtractResult(True, pixels=pixels, hash_ok=hash_ok, parts=parts,
-                         output_path=out, frames_read=frames_needed)
+    from stegotpu.pipeline import finalize_extract
+
+    return finalize_extract(parts, receiver_private, output_image,
+                            frames_needed)

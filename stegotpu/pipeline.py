@@ -769,42 +769,53 @@ def extract_image_from_video(
                 frames_read=frames_read,
             )
 
+    return finalize_extract(parts, receiver_private, output_image,
+                            frames_read)
+
+
+def finalize_extract(parts: PayloadParts, receiver_private, output_image,
+                     frames_read: int, write_output: bool = True
+                     ) -> ExtractResult:
+    """Shared payload finalization: decrypt, SHA3-verify (warn-only, like
+    the reference), rebuild the image or return raw bytes, save.
+
+    The single implementation behind the streaming extract, parallel
+    (--procs) extract, and the multi-host dist-extract — these used to be
+    three hand-maintained copies that had already drifted (the wrong-key
+    hint and the SHA3 warning were missing from some). write_output=False
+    skips filesystem writes (dist-extract: only process 0 writes)."""
     try:
         plaintext, hash_ok = open_payload(parts, receiver_private)
     except ValueError as e:
-        # e.g. garbage bits parsed into a structurally-plausible header whose
-        # "compressed point" is not on the curve — keep the structured
-        # error contract rather than leaking an exception
-        return ExtractResult(False, parts=parts,
+        # e.g. garbage bits parsed into a structurally-plausible header
+        # whose "compressed point" is not on the curve — keep the
+        # structured error contract rather than leaking an exception
+        return ExtractResult(False, parts=parts, frames_read=frames_read,
                              error=f"payload fields invalid ({e}) — wrong "
-                                   "delta/coeffs or not a stego video",
-                             frames_read=frames_read)
+                                   "delta/coeffs or not a stego video")
     if plaintext is None:
-        return ExtractResult(False, parts=parts,
-                             error="AES-GCM authentication failed",
-                             frames_read=frames_read)
+        return ExtractResult(False, parts=parts, frames_read=frames_read,
+                             error="AES-GCM authentication failed")
     if not hash_ok:
-        log.warning("SHA3-256 mismatch: image may be corrupt (continuing, like reference)")
-
+        log.warning("SHA3-256 mismatch: image may be corrupt "
+                    "(continuing, like reference)")
     if parts.is_raw_data:  # extension mode: arbitrary bytes, no image decode
         out_path = None
-        if output_image is not None:
+        if output_image is not None and write_output:
             Path(output_image).write_bytes(plaintext)
             out_path = str(output_image)
         return ExtractResult(True, data=plaintext, hash_ok=hash_ok,
                              parts=parts, output_path=out_path,
                              frames_read=frames_read)
-
     try:
         pixels = image_codec.bytes_to_pixels(
             plaintext, parts.secret_width, parts.secret_height
         )
     except ValueError as e:
-        return ExtractResult(False, parts=parts, hash_ok=hash_ok, error=str(e),
-                             frames_read=frames_read)
-
+        return ExtractResult(False, parts=parts, hash_ok=hash_ok,
+                             error=str(e), frames_read=frames_read)
     out_path = None
-    if output_image is not None:
+    if output_image is not None and write_output:
         image_codec.save_image_gray(pixels, output_image)
         out_path = str(output_image)
     return ExtractResult(True, pixels=pixels, hash_ok=hash_ok, parts=parts,

@@ -234,10 +234,15 @@ def recover_params(stego_video, config, max_frames: int = 4):
     but matching the parameters already tried (the failure is elsewhere:
     wrong key, corrupt payload).
     """
-    import dataclasses
-
     gray = read_gray_frames(stego_video, max_frames)
-    rep = analyze_frames(gray, num_ac=config.num_ac_coeffs)
+    # Detect on slot 1 ONLY: every payload-carrying block snaps its first
+    # AC coefficient regardless of the embedder's num_ac, whereas scoring
+    # over config.num_ac_coeffs slots dilutes the lattice fraction when
+    # the TRUE num_ac is smaller (embedded N=3, configured N=10: score
+    # ~0.4 < floor) — reporting "not a stego video" for exactly the
+    # wrong-num_ac case recovery exists to fix. estimate_num_ac below is
+    # slot-resolved and recovers the real N independently.
+    rep = analyze_frames(gray, num_ac=1)
     if not rep.detected:
         return None, (f"no QIM lattice detected (verdict: {rep.verdict}) — "
                       "not a stego video, or the cover is too smooth to "

@@ -119,3 +119,32 @@ def test_detection_robust_to_payload_randomness(tmp_path):
                                    rng=np.random.default_rng(seed))
         rep = analyze_video(res.output_path)
         assert rep.detected and rep.detection_ratio > 4.5, rep.detection_ratio
+
+
+def test_recover_params_with_smaller_true_num_ac(tmp_path):
+    """Recovery must find a stego embedded with FEWER coefficients than the
+    configured num_ac (round-5 review: scoring over config's 10 slots
+    diluted a true-N=3 lattice below the detection floor, reporting 'not a
+    stego video' for exactly the case recovery exists to fix)."""
+    from stegotpu import crypto, fixtures
+    from stegotpu.config import StegoConfig
+    from stegotpu.pipeline import embed_image_in_video, extract_image_from_video
+    from stegotpu.steganalysis import recover_params
+
+    fixtures.make_cover_video(tmp_path / "c.mp4", 320, 240, frames=6,
+                              kind="noise", seed=11)
+    fixtures.make_secret_image(tmp_path / "s.png", 24, 24, kind="noise",
+                               seed=12)
+    priv, pub_c = crypto.setup_receiver_keys(tmp_path / "k.pem",
+                                             tmp_path / "p.pem")
+    res = embed_image_in_video(tmp_path / "c.mp4", tmp_path / "s.png",
+                               tmp_path / "st", pub_c,
+                               StegoConfig(delta=20, num_ac_coeffs=3),
+                               batch_frames=4)
+    assert res.success
+    new_cfg, msg = recover_params(res.output_path,
+                                  StegoConfig(delta=20, num_ac_coeffs=10))
+    assert new_cfg is not None, msg
+    assert new_cfg.num_ac_coeffs == 3 and new_cfg.delta == 20, msg
+    ext = extract_image_from_video(res.output_path, priv, new_cfg)
+    assert ext.success and ext.hash_ok
