@@ -113,10 +113,22 @@ def cmd_genkey(args) -> int:
                   "key", file=sys.stderr)
             return 1
         passphrase = secret.encode()
-    if args.force:
-        priv_path.unlink(missing_ok=True)
-        pub_path.unlink(missing_ok=True)
-    crypto.setup_receiver_keys(priv_path, pub_path, passphrase)
+    if args.force and (priv_path.exists() or pub_path.exists()):
+        # never destroy the old keypair before the new one exists: a
+        # generation failure (full disk, bad passphrase encryption) must
+        # not lose the private key protecting existing stego videos —
+        # generate into temp files and swap in atomically
+        import os
+
+        tmp_priv = priv_path.with_suffix(priv_path.suffix + ".new")
+        tmp_pub = pub_path.with_suffix(pub_path.suffix + ".new")
+        tmp_priv.unlink(missing_ok=True)
+        tmp_pub.unlink(missing_ok=True)
+        crypto.setup_receiver_keys(tmp_priv, tmp_pub, passphrase)
+        os.replace(tmp_priv, priv_path)
+        os.replace(tmp_pub, pub_path)
+    else:
+        crypto.setup_receiver_keys(priv_path, pub_path, passphrase)
     kind = "encrypted PKCS8" if passphrase else "SECP256R1"
     print(f"wrote {priv_path} and {pub_path} ({kind})")
     return 0
@@ -190,6 +202,23 @@ def cmd_embed(args) -> int:
         state_npy = state if str(state).endswith(".npy") else f"{state}.npy"
         if Path(state_npy).exists():
             sealed = np.load(state_npy)
+            # the state is authoritative on resume: the secret argument is
+            # NOT re-read. Guard against a stale state from a DIFFERENT
+            # secret — dims + ciphertext length are parseable without keys
+            w_px, h_px, img_bits = image_codec.image_to_bits(args.secret)
+            hdr, ct_len, _pos = payload_mod.parse_header_bits(
+                np.asarray(sealed, dtype=np.uint8),
+                _config_from_args(args).dims_bits)
+            if ((hdr.secret_width, hdr.secret_height) != (w_px, h_px)
+                    or ct_len != len(_b2b(img_bits))):
+                print(f"error: payload state '{state_npy}' was sealed from "
+                      f"a different secret ({hdr.secret_width}x"
+                      f"{hdr.secret_height}, {ct_len} ciphertext bytes) "
+                      f"than '{args.secret}' ({w_px}x{h_px}) — delete the "
+                      "state file to reseal", file=sys.stderr)
+                return 1
+            print(f"loaded sealed payload from '{state_npy}' "
+                  "(resume: embedding the state's crypto stream)")
         else:
             w_px, h_px, img_bits = image_codec.image_to_bits(args.secret)
             sealed, _ = payload_mod.seal_payload(
@@ -245,8 +274,10 @@ def cmd_embed(args) -> int:
                   f"bits after verified repair (saturated cover) — "
                   f"--allow-residual emits the file anyway", file=sys.stderr)
         else:
-            print(f"EMBED FAILED: {res.bits_embedded}/{res.total_payload_bits} "
-                  f"bits embedded before the video ended", file=sys.stderr)
+            reason = res.error or (
+                f"{res.bits_embedded}/{res.total_payload_bits} bits "
+                "embedded before the video ended")
+            print(f"EMBED FAILED: {reason}", file=sys.stderr)
         return 1
     print(f"embedded {res.total_payload_bits} bits into '{res.output_path}' "
           f"({res.frames_used} frames)")
@@ -433,9 +464,10 @@ def cmd_dist_embed(args) -> int:
     if res is None:  # non-zero rank: its segment status was logged
         return 0
     if not res.success:
-        print(f"DIST EMBED FAILED: {res.bits_embedded}/"
-              f"{res.total_payload_bits} bits fit in the video",
-              file=sys.stderr)
+        reason = res.error or (f"{res.bits_embedded}/"
+                               f"{res.total_payload_bits} bits fit in the "
+                               "video")
+        print(f"DIST EMBED FAILED: {reason}", file=sys.stderr)
         return 1
     print(f"embedded {res.total_payload_bits} bits into '{res.output_path}' "
           f"({res.frames_used} frames, {args.num_processes} hosts)")
@@ -490,6 +522,10 @@ def cmd_embed_data(args) -> int:
             batch_frames=args.batch,
         )
     if not res.success:
+        reason = getattr(res, "error", None)
+        if reason:
+            print(f"EMBED-DATA FAILED: {reason}", file=sys.stderr)
+            return 1
         print(f"EMBED-DATA FAILED: {res.bits_embedded}/{res.total_payload_bits} "
               "bits embedded before the video ended", file=sys.stderr)
         return 1

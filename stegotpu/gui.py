@@ -231,10 +231,20 @@ class StegoApp:
         if mode == "genkey" and not self._confirm_genkey_overwrite():
             self._log("key generation cancelled", "INFO")
             return
+        # SNAPSHOT every Tk value on the main thread: workers must never
+        # call .get() on Tk variables (unsafe on non-thread-enabled Tcl,
+        # and racy against mid-run spinbox edits even on threaded builds)
+        snap = {
+            "paths": {k: v.get() for k, v in self.paths.items()},
+            "config": self._config(),
+            "procs": self._procs_value(),
+            "auto_recover": bool(self.auto_recover.get()),
+        }
         self.run_btn.configure(state="disabled")
         worker = {"embed": self._do_embed, "extract": self._do_extract,
                   "genkey": self._do_genkey}[mode]
-        threading.Thread(target=self._guard(worker), daemon=True).start()
+        threading.Thread(target=self._guard(worker, snap),
+                         daemon=True).start()
 
     def _confirm_genkey_overwrite(self) -> bool:
         """Overwrite confirmation MUST happen on the Tk main thread (this
@@ -247,10 +257,10 @@ class StegoApp:
             return True
         return messagebox.askyesno("Overwrite keys?", "Key files exist. Overwrite?")
 
-    def _guard(self, fn):
+    def _guard(self, fn, snap):
         def wrapped():
             try:
-                fn()
+                fn(snap)
             except Exception as e:  # surface, don't crash the worker silently
                 self._log(f"ERROR: {e}", "ERR")
             finally:
@@ -275,74 +285,80 @@ class StegoApp:
             self._log(f"ignoring invalid procs value {v!r}", "ERR")
             return 1
 
-    def _do_genkey(self) -> None:
-        # overwrite was already confirmed on the main thread (_run)
+    def _do_genkey(self, snap) -> None:
+        # overwrite was already confirmed on the main thread (_run).
+        # NEVER delete the old keypair before the new one exists: generate
+        # into temp files and swap atomically, so a generation failure
+        # cannot lose the private key protecting existing stego videos
         import os
+        from pathlib import Path
 
-        priv_p = self.paths["priv_key"].get()
-        pub_p = self.paths["pub_key"].get()
-        for p in (priv_p, pub_p):
-            if os.path.exists(p):
-                os.remove(p)
+        priv_p = snap["paths"]["priv_key"]
+        pub_p = snap["paths"]["pub_key"]
         self._log("generating SECP256R1 keypair...", "RUN")
-        crypto.setup_receiver_keys(priv_p, pub_p)
+        if os.path.exists(priv_p) or os.path.exists(pub_p):
+            tmp_priv, tmp_pub = priv_p + ".new", pub_p + ".new"
+            Path(tmp_priv).unlink(missing_ok=True)
+            Path(tmp_pub).unlink(missing_ok=True)
+            crypto.setup_receiver_keys(tmp_priv, tmp_pub)
+            os.replace(tmp_priv, priv_p)
+            os.replace(tmp_pub, pub_p)
+        else:
+            crypto.setup_receiver_keys(priv_p, pub_p)
         self._log(f"wrote {priv_p} and {pub_p}", "OK")
 
-    def _do_embed(self) -> None:
+    def _do_embed(self, snap) -> None:
         from stegotpu.pipeline import embed_image_in_video
 
         self._log("embedding...", "RUN")
+        paths, cfg, procs = snap["paths"], snap["config"], snap["procs"]
         pub = crypto.serialize_public_compressed(
-            crypto.load_public_pem(self.paths["pub_key"].get())
+            crypto.load_public_pem(paths["pub_key"])
         )
-        procs = self._procs_value()
         if procs != 1:
             from stegotpu.parallel.local_procs import parallel_embed
 
-            res = parallel_embed(
-                self.paths["cover"].get(), self.paths["secret"].get(),
-                self.paths["stego_out"].get(), pub, self._config(),
-                procs=procs,
-            )
+            res = parallel_embed(paths["cover"], paths["secret"],
+                                 paths["stego_out"], pub, cfg, procs=procs)
         else:
-            res = embed_image_in_video(
-                self.paths["cover"].get(), self.paths["secret"].get(),
-                self.paths["stego_out"].get(), pub, self._config(),
-            )
+            res = embed_image_in_video(paths["cover"], paths["secret"],
+                                       paths["stego_out"], pub, cfg)
         if not res.success:
             if res.residual_bits:
                 self._log(
                     f"EMBED FAILED: {res.residual_bits} unrepairable payload "
                     "bits after verified repair (saturated cover)", "ERR")
             else:
-                self._log(
-                    f"EMBED FAILED: {res.bits_embedded}/{res.total_payload_bits} "
-                    "bits before video ended", "ERR")
+                reason = res.error or (
+                    f"{res.bits_embedded}/{res.total_payload_bits} bits "
+                    "before video ended")
+                self._log(f"EMBED FAILED: {reason}", "ERR")
             return
         self._log(f"embedded {res.total_payload_bits} bits -> {res.output_path}", "OK")
         psnr = res.first_frame_psnr
         if psnr is not None:
             self._log(f"first-frame PSNR (orig vs stego gray): {psnr:.2f} dB", "OK")
 
-    def _do_extract(self) -> None:
+    def _do_extract(self, snap) -> None:
         from stegotpu.evaluation import compare_images
         from stegotpu.pipeline import extract_image_from_video
 
         self._log("extracting...", "RUN")
-        priv = crypto.load_private_pem(self.paths["priv_key"].get())
-        out = self.paths["image_out"].get()
-        cfg = self._config()
-        procs = self._procs_value()
-        if procs != 1:
-            from stegotpu.parallel.local_procs import parallel_extract
+        paths, cfg, procs = snap["paths"], snap["config"], snap["procs"]
+        priv = crypto.load_private_pem(paths["priv_key"])
+        out = paths["image_out"]
 
-            res = parallel_extract(self.paths["stego_in"].get(), priv, cfg,
-                                   out, procs=procs)
-        else:
-            res = extract_image_from_video(
-                self.paths["stego_in"].get(), priv, cfg, out,
-            )
-        if not res.success and self.auto_recover.get():
+        def run(run_cfg):
+            if procs != 1:
+                from stegotpu.parallel.local_procs import parallel_extract
+
+                return parallel_extract(paths["stego_in"], priv, run_cfg,
+                                        out, procs=procs)
+            return extract_image_from_video(paths["stego_in"], priv,
+                                            run_cfg, out)
+
+        res = run(cfg)
+        if not res.success and snap["auto_recover"]:
             # RECOVERY MODE (mirrors `extract --auto-params` / the daemon's
             # auto_params): steganalysis.recover_params is the shared core
             from stegotpu.steganalysis import recover_params
@@ -351,13 +367,11 @@ class StegoApp:
                 f"extract failed with delta={cfg.delta}, "
                 f"coeffs={cfg.num_ac_coeffs} — running steganalysis "
                 "parameter recovery...", "RUN")
-            new_cfg, msg = recover_params(self.paths["stego_in"].get(), cfg)
+            new_cfg, msg = recover_params(paths["stego_in"], cfg)
             if new_cfg is not None:
                 self._log(f"RECOVERY: {msg} — retrying", "RUN")
                 cfg = new_cfg
-                res = extract_image_from_video(
-                    self.paths["stego_in"].get(), priv, cfg, out,
-                )
+                res = run(cfg)  # retry keeps the user's procs selection
                 if res.success:
                     self._log(f"recovered parameters: delta={cfg.delta}, "
                               f"coeffs={cfg.num_ac_coeffs}", "OK")
@@ -376,7 +390,7 @@ class StegoApp:
             self._q.put(("preview", out))
         self._log("SHA3-256 integrity: " + ("OK" if res.hash_ok else "MISMATCH"),
                   "OK" if res.hash_ok else "ERR")
-        orig = self.paths["secret"].get()
+        orig = paths["secret"]
         if orig and not res.is_raw_data:
             cmp = compare_images(orig, out)
             self._log(

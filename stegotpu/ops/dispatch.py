@@ -21,7 +21,7 @@ from stegotpu.ops import pallas_kernel, qim
 def _pallas_ok(w: int, h: int) -> bool:
     # any 8x8-blockable frame (the pipeline's crop guarantees this); widths
     # off the 128-lane grid are zero-padded inside the pallas wrappers
-    return w % 8 == 0 and h % 8 == 0 and w > 0
+    return w % 8 == 0 and h % 8 == 0 and w > 0 and h > 0
 
 
 def _pallas_compiled_backend() -> bool:

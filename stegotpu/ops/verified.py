@@ -40,7 +40,7 @@ def embed_frames_verified(
     total_bits: jnp.ndarray,
     delta: jnp.ndarray,
     num_ac: int,
-    repair_rounds: int = 2,
+    repair_rounds: int = 3,  # = StegoConfig.repair_rounds default
     block: int = BLOCK,
     bit_offset: jnp.ndarray | int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -74,15 +74,15 @@ def embed_frames_verified(
                     precision=jax.lax.Precision.HIGHEST)
     ac0 = _ac_slice(y0, num_ac)
 
-    # standard directional QIM codes (reference semantics)
-    q = jnp.round(ac0 / delta)
-    parity = jnp.mod(q, 2.0)
-    adjust = jnp.where(parity != bits_f, jnp.where(bits_f == 1.0, 1.0, -1.0), 0.0)
-    q_codes = q + adjust
+    # standard directional QIM codes: the ONE lattice implementation
+    # (qim.qim_embed_coeffs) — a local copy here would silently
+    # desynchronize the verified embedder from the standard one if the
+    # embed convention ever changed
+    ac_snapped = qim_embed_coeffs(ac0, bits_f, valid, delta)
 
     def synthesize_float(dc_shift):
         """dc_shift: (B, nb) DC adjustment -> pre-clip float blocks (B, nb, 64)."""
-        ac_new = jnp.where(valid, q_codes * delta, ac0)
+        ac_new = ac_snapped
         dc = y0[..., :1] + dc_shift[..., None]
         y_new = jnp.concatenate([dc, ac_new, y0[..., 1 + num_ac :]], axis=-1)
         x_out = jnp.einsum("bnk,kc->bnc", y_new, k, preferred_element_type=jnp.float32,
@@ -156,7 +156,7 @@ def embed_frames_verified_fast(
     total_bits: jnp.ndarray,
     delta: jnp.ndarray,
     num_ac: int,
-    repair_rounds: int = 2,
+    repair_rounds: int = 3,  # = StegoConfig.repair_rounds default
     kernel: str = "auto",
     precision: str = "wire",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -187,7 +187,24 @@ def embed_frames_verified_fast(
     )
     if int(errors) == 0:
         return stego, bpf, jnp.int32(0)
-    return embed_frames_verified(frames, jnp.asarray(payload_bits),
-                                 jnp.asarray(total_bits, jnp.int32),
-                                 jnp.asarray(delta, jnp.float32), num_ac,
-                                 repair_rounds=repair_rounds)
+    stego2, bpf2, residual = embed_frames_verified(
+        frames, jnp.asarray(payload_bits),
+        jnp.asarray(total_bits, jnp.int32),
+        jnp.asarray(delta, jnp.float32), num_ac,
+        repair_rounds=repair_rounds)
+    if precision == "fast":
+        # the XLA repair loop verifies with f32 extraction, but a
+        # fast-mode READER decodes with single-pass bf16 — recount the
+        # residual under the actual reader arithmetic so a repaired block
+        # that only verifies at f32 cannot ship as "BER=0" (it would fail
+        # AES-GCM at the fast endpoint). Fail-closed via the normal
+        # residual contract.
+        from stegotpu.ops.pallas_kernel import extract_frames_pallas
+
+        got = extract_frames_pallas(stego2, jnp.asarray(delta, jnp.float32),
+                                    num_ac, precision="fast").reshape(-1)
+        want = jnp.asarray(payload_bits).reshape(-1)
+        live = jnp.arange(got.size) < jnp.asarray(total_bits, jnp.int32)
+        residual = jnp.sum(jnp.where(live & (got != want), 1, 0),
+                           dtype=jnp.int32)
+    return stego2, bpf2, residual

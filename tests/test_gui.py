@@ -81,9 +81,25 @@ class _HeadlessApp:
         self.auto_recover = _Var(auto_recover)
         self.procs = _Var(procs)
         self.precision = _Var(precision)
-        self._do_extract = StegoApp._do_extract.__get__(self)
-        self._do_embed = StegoApp._do_embed.__get__(self)
+        self._do_extract_m = StegoApp._do_extract.__get__(self)
+        self._do_embed_m = StegoApp._do_embed.__get__(self)
         self._procs_value = StegoApp._procs_value.__get__(self)
+
+    def snapshot(self):
+        # mirrors StegoApp._run's main-thread snapshot (round-5 fix:
+        # workers receive plain values, never touch Tk variables)
+        return {
+            "paths": {k: v.get() for k, v in self.paths.items()},
+            "config": self._config(),
+            "procs": self._procs_value(),
+            "auto_recover": bool(self.auto_recover.get()),
+        }
+
+    def _do_embed(self):
+        return self._do_embed_m(self.snapshot())
+
+    def _do_extract(self):
+        return self._do_extract_m(self.snapshot())
 
     def _config(self):
         from stegotpu.config import StegoConfig

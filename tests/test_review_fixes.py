@@ -406,3 +406,50 @@ def test_inspect_rejects_tiny_video(tmp_path, rng):
     out.release()
     with pytest.raises(ValueError, match="too small"):
         inspect_stego_header(tmp_path / "tiny.avi", StegoConfig())
+
+
+def test_payload_state_stale_secret_refused(tmp_path, monkeypatch, capsys):
+    """Resuming with a --payload-state sealed from a DIFFERENT secret used
+    to silently embed the old ciphertext (the secret argument ignored
+    with no indication); now it errors with the dims mismatch."""
+    from stegotpu import fixtures
+    from stegotpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["genkey"]) == 0
+    fixtures.make_secret_image("s1.png", 16, 16, kind="noise", seed=1)
+    fixtures.make_secret_image("s2.png", 24, 24, kind="noise", seed=2)
+    fixtures.make_cover_video("c.mp4", 160, 128, frames=12, kind="moving",
+                              seed=3)
+    assert main(["embed", "c.mp4", "s1.png", "o1", "--batch", "4",
+                 "--payload-state", "st.npy"]) == 0
+    capsys.readouterr()
+    # resume against a different secret: refused with a clear reason
+    assert main(["embed", "c.mp4", "s2.png", "o2", "--batch", "4",
+                 "--payload-state", "st.npy"]) == 1
+    assert "different secret" in capsys.readouterr().err
+    # resume with the SAME secret: allowed, with a loaded note
+    assert main(["embed", "c.mp4", "s1.png", "o3", "--batch", "4",
+                 "--payload-state", "st.npy"]) == 0
+    assert "loaded sealed payload" in capsys.readouterr().out
+
+
+def test_genkey_force_survives_generation_failure(tmp_path, monkeypatch,
+                                                  capsys):
+    """genkey --force must not destroy the old keypair when generation
+    fails (round-5 review: unlink-then-write lost the private key on a
+    mid-generation error)."""
+    from stegotpu import crypto as crypto_mod
+    from stegotpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["genkey"]) == 0
+    old_priv = (tmp_path / "bob_private_key.pem").read_bytes()
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(crypto_mod, "setup_receiver_keys", boom)
+    rc = main(["genkey", "--force"])  # CLI surfaces errors as exit 1
+    assert rc != 0
+    assert (tmp_path / "bob_private_key.pem").read_bytes() == old_priv
