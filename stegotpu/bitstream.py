@@ -70,8 +70,13 @@ def bits_to_string(bits: BitArray) -> str:
 
 
 def string_to_bits(s: str) -> BitArray:
-    """'0'/'1' string -> bit array."""
-    return np.frombuffer(s.encode("ascii"), dtype=np.uint8) - ord("0")
+    """'0'/'1' string -> bit array. Rejects any other character (silently
+    mapping '2'->2 or letters->49 would corrupt downstream bits_to_int)."""
+    arr = np.frombuffer(s.encode("ascii"), dtype=np.uint8) - ord("0")
+    if arr.size and (arr > 1).any():
+        bad = s[int(np.argmax(arr > 1))]
+        raise ValueError(f"bitstream string contains non-binary char {bad!r}")
+    return arr
 
 
 def pad_bits(bits: BitArray, target_len: int, fill: int = 0) -> BitArray:

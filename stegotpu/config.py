@@ -77,8 +77,11 @@ class StegoConfig:
     qim_precision: str = "wire"
 
     def __post_init__(self) -> None:
-        if self.delta < 0:
-            raise ValueError(f"delta must be >= 0, got {self.delta}")
+        if self.delta <= 0:
+            # the QIM quantizer divides by delta: 0 would produce NaN
+            # coefficients and silently corrupt stego (the reference
+            # crashes on it too)
+            raise ValueError(f"delta must be > 0, got {self.delta}")
         if not (0 <= self.num_ac_coeffs <= BLOCK_AREA - 1):
             raise ValueError(
                 f"num_ac_coeffs must be in [0, {BLOCK_AREA - 1}], got {self.num_ac_coeffs}"
@@ -88,7 +91,7 @@ class StegoConfig:
         if self.qim_precision not in ("wire", "fast"):
             raise ValueError(
                 f"qim_precision must be wire/fast, got {self.qim_precision!r}")
-        if self.qim_precision == "fast" and 0 < self.delta < 12:
+        if self.qim_precision == "fast" and self.delta < 12:
             raise ValueError(
                 "qim_precision='fast' needs delta >= 12: the bf16 lattice "
                 "drift (~2.0 at 1080p coefficient magnitudes) consumes too "

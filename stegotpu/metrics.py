@@ -86,6 +86,13 @@ def ssim_batch(a: jnp.ndarray, b: jnp.ndarray,
                data_range: float = 255.0) -> jnp.ndarray:
     """Per-frame SSIM over (B, H, W) stacks — the five moment maps ride one
     batched separable conv (the whole batch is one device pass)."""
+    if a.shape[-1] < 11 or a.shape[-2] < 11:
+        # the 11x11 VALID-padded window needs >= 11 px per axis; smaller
+        # frames would hit negative slice stops (cryptic broadcast crash)
+        # or all-empty windows (silent NaN) — match skimage's clear error
+        raise ValueError(
+            f"SSIM needs frames >= 11px per side, got {a.shape[-2]}x"
+            f"{a.shape[-1]} (win_size exceeds image)")
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     bsz = a.shape[0]
@@ -120,6 +127,10 @@ def psnr_np(a: np.ndarray, b: np.ndarray) -> float:
 def ssim_np(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
     from scipy.ndimage import correlate
 
+    if a.shape[-1] < 11 or a.shape[-2] < 11:
+        raise ValueError(
+            f"SSIM needs frames >= 11px per side, got {a.shape[-2]}x"
+            f"{a.shape[-1]} (win_size exceeds image)")
     a = a.astype(np.float64)
     b = b.astype(np.float64)
     win = _gaussian_kernel().astype(np.float64)

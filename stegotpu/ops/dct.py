@@ -22,7 +22,7 @@ import functools
 
 import numpy as np
 
-from stegotpu.config import BLOCK, BLOCK_AREA
+from stegotpu.config import BLOCK
 
 
 @functools.lru_cache(maxsize=None)
@@ -37,7 +37,9 @@ def dct_matrix(n: int = BLOCK, dtype=np.float32) -> np.ndarray:
     mat = np.cos(np.pi * (2.0 * j + 1.0) * k / (2.0 * n))
     mat *= np.sqrt(2.0 / n)
     mat[0, :] *= np.sqrt(0.5)
-    return mat.astype(dtype)
+    out = mat.astype(dtype)
+    out.setflags(write=False)  # lru_cache shares this array process-wide
+    return out
 
 
 @functools.lru_cache(maxsize=None)
@@ -48,7 +50,9 @@ def kron_dct_matrix(n: int = BLOCK, dtype=np.float32) -> np.ndarray:
     accuracy before the cast.
     """
     m = dct_matrix(n, np.float64)
-    return np.kron(m, m).astype(dtype)
+    out = np.kron(m, m).astype(dtype)
+    out.setflags(write=False)  # lru_cache shares this array process-wide
+    return out
 
 
 def blockify(frames: np.ndarray, block: int = BLOCK) -> np.ndarray:

@@ -37,7 +37,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from stegotpu.config import BLOCK, BLOCK_AREA
+from stegotpu.config import BLOCK
 from stegotpu.ops.dct import blockify, kron_dct_matrix, unblockify
 
 
@@ -170,9 +170,9 @@ def roundtrip_metrics(frames, stego, extracted, payload_bits, total_bits):
     payload-carrying slots only. Shared by embed_extract_evaluate and the
     streaming benchmarks (benchmarks/uhd_stream.py).
     """
-    d = frames.astype(jnp.float32) - stego.astype(jnp.float32)
-    mse = jnp.mean(d * d)
-    psnr_db = jnp.where(mse == 0, jnp.inf, 10.0 * jnp.log10(255.0 * 255.0 / mse))
+    from stegotpu.metrics import psnr  # the ONE PSNR implementation
+
+    psnr_db = psnr(frames, stego)
     b = frames.shape[0]
     cap = payload_bits.shape[1]
     total_bits = total_bits.astype(jnp.int32)
@@ -200,14 +200,15 @@ def embed_extract_evaluate(
 ):
     """Streaming-evaluation step: embed + extract + on-device quality metrics.
 
-    One device dispatch returns (stego, bits_per_frame, extracted, metrics)
-    (BASELINE.json config: "4K60 streaming embed+extract with on-device
-    PSNR/SSIM/BER evaluation").
+    One device dispatch returns (stego, bits_per_frame, extracted,
+    metrics) where metrics = {psnr_db, bit_errors, payload_bits}
+    (BASELINE.json's "on-device evaluation" config; per-frame SSIM is
+    available separately via metrics.ssim_batch — it is not computed here
+    because the streaming benchmarks gate on PSNR/BER scalars only).
     """
-    stego, bits_per_frame = embed_frames(
+    stego, bits_per_frame, extracted = embed_and_extract_frames(
         frames, payload_bits, total_bits, delta, num_ac, block
     )
-    extracted = extract_frames(stego, delta, num_ac, block)
     metrics = roundtrip_metrics(frames, stego, extracted, payload_bits, total_bits)
     return stego, bits_per_frame, extracted, metrics
 

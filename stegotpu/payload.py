@@ -137,6 +137,13 @@ def seal_payload(
 
     (reference: embed_process.py:30-86, stages 1-2)
     """
+    if len(image_bytes) >= (1 << 28) - 256:
+        # the device kernels index payload bits with int32 (a deliberate
+        # trade: 2^31 bits = 268 MB of payload); beyond that the masks
+        # would wrap negative and the embed would silently write nothing
+        raise ValueError(
+            f"payload of {len(image_bytes)} bytes exceeds the 2^31-bit "
+            "(268 MB) indexing limit")
     if width == 0 or height == 0:
         # the parser rejects 0x0 dims as corrupt (parse_header_bits), so a
         # zero-dim embed would produce a payload NO extractor accepts, with

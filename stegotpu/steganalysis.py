@@ -235,14 +235,21 @@ def recover_params(stego_video, config, max_frames: int = 4):
     wrong key, corrupt payload).
     """
     gray = read_gray_frames(stego_video, max_frames)
-    # Detect on slot 1 ONLY: every payload-carrying block snaps its first
-    # AC coefficient regardless of the embedder's num_ac, whereas scoring
+    # Two detection passes. The configured-width scan first (the
+    # historically reliable path), then slot 1 as the fallback: scoring
     # over config.num_ac_coeffs slots dilutes the lattice fraction when
     # the TRUE num_ac is smaller (embedded N=3, configured N=10: score
     # ~0.4 < floor) — reporting "not a stego video" for exactly the
-    # wrong-num_ac case recovery exists to fix. estimate_num_ac below is
-    # slot-resolved and recovers the real N independently.
-    rep = analyze_frames(gray, num_ac=1)
+    # wrong-num_ac case recovery exists to fix — but every
+    # payload-carrying block snaps its FIRST AC coefficient regardless of
+    # the embedder's num_ac, so a slot-1 scan catches that case. Slot-1
+    # evidence alone is weaker (fewer coefficients back it, occasionally
+    # electing a divisor delta on clip-prone covers), which is why it runs
+    # second, never instead. estimate_num_ac below is slot-resolved and
+    # recovers the real N independently of either pass.
+    rep = analyze_frames(gray, num_ac=config.num_ac_coeffs)
+    if not rep.detected and config.num_ac_coeffs > 1:
+        rep = analyze_frames(gray, num_ac=1)
     if not rep.detected:
         return None, (f"no QIM lattice detected (verdict: {rep.verdict}) — "
                       "not a stego video, or the cover is too smooth to "
