@@ -104,7 +104,8 @@ def is_robust(delta: float, num_ac: int, precision: str = "wire") -> bool:
 
 
 def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,
-                 verbose: bool = True, precision: str = "wire") -> list[dict]:
+                 verbose: bool = True, precision: str = "wire",
+                 content: str = "noise") -> list[dict]:
     """One compile; a row of on-device scalar comparisons per delta.
 
     precision: config.qim_precision mode under test for the PALLAS kernels
@@ -113,6 +114,16 @@ def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,
     way; 'fast' rows use the wider FAST_TOL envelope for the pallas-vs-XLA
     boundary comparison, while all intra-pallas identities (packed vs
     unpacked, fused vs standalone, verified kernel) stay zero tolerance.
+
+    content: 'noise' (uniform-random, the throughput-realistic default)
+    or 'compressed' (a deterministic moving-pattern cover round-tripped
+    through the mpeg4 codec, mid-luma so clipping cannot contribute).
+    Lossy compression leaves DCT coefficients at structured positions
+    whose quantized-stego boundary distances are tight — the content
+    class where the r5 single-pass-bf16 INVERSE bug flipped ~1e-4 of
+    bits at delta=8 while uniform-random covers sailed through
+    (validated: the simulated old kernel fails a compressed delta=8 row
+    by >10x the robust BER bound; the fixed kernel passes with 0).
     """
     import jax
     import jax.numpy as jnp
@@ -162,7 +173,11 @@ def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,
             ys = y[..., 1 : num_ac + 1].reshape(fr.shape[0], -1)
             frac = ys / delta - jnp.floor(ys / delta)
             dist = jnp.abs(frac - 0.5) * delta   # abs distance to boundary
-            tol = tol_abs + tol_rel * jnp.abs(ys)  # float-noise envelope
+            # float-noise envelope, CAPPED below the decision margin: the
+            # relative term otherwise exceeds delta/2 for |ys| >= ~(delta/2
+            # - abs)/rel (fast mode at delta=12: |ys| >= 1000), making the
+            # zero-tolerance gate vacuous on large coefficients
+            tol = jnp.minimum(tol_abs + tol_rel * jnp.abs(ys), 0.45 * delta)
             mm = ex_x != ex_p
             return (jnp.sum(mm.astype(jnp.int32)),
                     jnp.sum((mm & (dist >= tol)).astype(jnp.int32)),
@@ -205,7 +220,23 @@ def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,
                 fused_vs_standalone, err_p, err_x,
                 v_stego_mm, v_err_delta)
 
-    frames = jax.device_put(rng.integers(0, 256, (b, h, w), dtype=np.uint8))
+    if content == "compressed":
+        import os as _os
+        import tempfile
+
+        from stegotpu import fixtures
+        from stegotpu.video import VideoReader
+
+        with tempfile.TemporaryDirectory() as td:
+            p = _os.path.join(td, "c.mp4")
+            fixtures.make_cover_video(p, w, h, frames=b, kind="moving",
+                                      seed=int(rng.integers(1 << 30)))
+            with VideoReader(p) as reader:
+                frames_np = np.concatenate(
+                    list(reader.batches(b, mode="gray")))[:b]
+    else:
+        frames_np = rng.integers(0, 256, (b, h, w), dtype=np.uint8)
+    frames = jax.device_put(frames_np)
     payload = jax.device_put(
         rng.integers(0, 2, (b, cap), dtype=np.uint8))
     tol_abs, tol_rel = ((FAST_TOL_ABS, FAST_TOL_REL) if fast
@@ -223,6 +254,7 @@ def check_config(b: int, h: int, w: int, num_ac: int, deltas, rng,
          fvs, err_p, err_x, v_smm, v_ed) = out
         rows.append({
             "h": h, "w": w, "batch": b, "num_ac": num_ac, "delta": delta,
+            "content": content,
             "precision": precision,
             "total_bits": int(b * cap - 13),
             "robust": is_robust(delta, num_ac, precision),

@@ -498,10 +498,18 @@ def _qim_sparse_delta(ys, bits, valid, delta):
     return jnp.where(valid & (delta > 0), (q + adjust) * safe - ys, 0.0)
 
 
-def _embed_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref, bh_i_ref,
-                  delta_ref, lim_ref, stego_ref, *,
-                  stripe, w, w_real, num_ac, cap, rn, rp):
-    delta = delta_ref[0]
+def _embed_core(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref, bh_i_ref,
+                delta, lim_ref, *, stripe, w, w_real, num_ac, cap, rn, rp):
+    """The shared embed preamble of every embed-bearing kernel body:
+    u8 -> f32, forward DCT, validity mask, QIM sparse delta, sparse
+    inverse, clip. Returns (x_f32, valid, bits_f32, stego_i32).
+
+    ONE implementation on purpose: _embed_kernel, _roundtrip_kernel,
+    _roundtrip_kernel_packed, and _embed_check_kernel used to carry four
+    copies of these lines, and a precision/mask fix (the r5 inverse
+    hardening was exactly such a change) had to land in all four in
+    lockstep or the variants exactness.py asserts bit-identical would
+    silently desynchronize."""
     x = _u8_to_f32(frames_ref[0])           # block is (1, stripe, w)
     ys = _dct2_compact(x, pvr_ref[:], bh_f_ref[:], w)
 
@@ -514,16 +522,24 @@ def _embed_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref, bh_i_ref,
 
     # dy == 0 for never-entered blocks -> exact passthrough of x
     xd = _idct2_sparse(dy, pve_ref[:], bh_i_ref[:], w)
-    stego_ref[0] = _f32_to_u8(jnp.clip(x + xd, 0.0, 255.0))
+    stego_i = jnp.clip(x + xd, 0.0, 255.0).astype(jnp.int32)  # truncating
+    return x, valid, bits, stego_i
+
+
+def _embed_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref, bh_i_ref,
+                  delta_ref, lim_ref, stego_ref, *,
+                  stripe, w, w_real, num_ac, cap, rn, rp):
+    _x, _v, _b, stego_i = _embed_core(
+        frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref, bh_i_ref,
+        delta_ref[0], lim_ref, stripe=stripe, w=w, w_real=w_real,
+        num_ac=num_ac, cap=cap, rn=rn, rp=rp)
+    stego_ref[0] = stego_i.astype(jnp.uint8)
 
 
 def _extract_bits(y, delta):
-    """round(c/delta) mod 2; delta <= 0 reads all-zero bits, explicitly
-    (reference config_and_setup.py:143-145 — a zero divide would be an
-    implementation-defined NaN->uint8 cast)."""
-    safe = jnp.where(delta > 0, delta, 1.0)
-    bits = jnp.where(delta > 0, jnp.mod(jnp.round(y / safe), 2.0), 0.0)
-    return _f32_to_u8(bits)
+    """_extract_bits_f32 with the u8 cast — ONE decode implementation
+    (packed and unpacked extract must stay zero-tolerance identical)."""
+    return _f32_to_u8(_extract_bits_f32(y, delta))
 
 
 def _extract_kernel(frames_ref, pvr_ref, bh_f_ref, delta_ref, bits_ref, *, w):
@@ -550,7 +566,10 @@ def _pack_matrix(w: int, dtype=np.float32) -> np.ndarray:
 
 
 def _extract_bits_f32(y, delta):
-    """_extract_bits before the u8 cast (packing consumes f32 directly)."""
+    """round(c/delta) mod 2 in f32 (packing consumes it directly; the u8
+    form is _extract_bits); delta <= 0 reads all-zero bits, explicitly
+    (reference config_and_setup.py:143-145 — a zero divide would be an
+    implementation-defined NaN->uint8 cast)."""
     safe = jnp.where(delta > 0, delta, 1.0)
     return jnp.where(delta > 0, jnp.mod(jnp.round(y / safe), 2.0), 0.0)
 
@@ -769,17 +788,10 @@ def _roundtrip_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
     """Embed AND re-extract in one VMEM pass: the quantized stego never
     leaves the chip between the two transforms."""
     delta = delta_ref[0]
-    x = _u8_to_f32(frames_ref[0])
-    ys = _dct2_compact(x, pvr_ref[:], bh_f_ref[:], w)
-
-    bits = _u8_to_f32(rows_ref[0])
-    valid = _qim_valid_compact(
-        lim_ref[0], lim_ref[1], stripe=stripe, w=w, w_real=w_real,
-        num_ac=num_ac, cap=cap, rn=rn, rp=rp,
-    )
-    dy = _qim_sparse_delta(ys, bits, valid, delta)
-    xd = _idct2_sparse(dy, pve_ref[:], bh_i_ref[:], w)
-    stego_i = jnp.clip(x + xd, 0.0, 255.0).astype(jnp.int32)  # truncating
+    _x, valid, bits, stego_i = _embed_core(
+        frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref, bh_i_ref, delta,
+        lim_ref, stripe=stripe, w=w, w_real=w_real, num_ac=num_ac, cap=cap,
+        rn=rn, rp=rp)
     stego_ref[0] = stego_i.astype(jnp.uint8)
 
     # re-extract from the ACTUAL quantized pixels, still in VMEM (the i32
@@ -796,17 +808,10 @@ def _roundtrip_kernel_packed(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
     """_roundtrip_kernel with the re-extracted bits packed 8/byte before the
     HBM write (one extra small MXU matmul, 8x less bits traffic)."""
     delta = delta_ref[0]
-    x = _u8_to_f32(frames_ref[0])
-    ys = _dct2_compact(x, pvr_ref[:], bh_f_ref[:], w)
-
-    bits = _u8_to_f32(rows_ref[0])
-    valid = _qim_valid_compact(
-        lim_ref[0], lim_ref[1], stripe=stripe, w=w, w_real=w_real,
-        num_ac=num_ac, cap=cap, rn=rn, rp=rp,
-    )
-    dy = _qim_sparse_delta(ys, bits, valid, delta)
-    xd = _idct2_sparse(dy, pve_ref[:], bh_i_ref[:], w)
-    stego_i = jnp.clip(x + xd, 0.0, 255.0).astype(jnp.int32)  # truncating
+    _x, valid, bits, stego_i = _embed_core(
+        frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref, bh_i_ref, delta,
+        lim_ref, stripe=stripe, w=w, w_real=w_real, num_ac=num_ac, cap=cap,
+        rn=rn, rp=rp)
     stego_ref[0] = stego_i.astype(jnp.uint8)
 
     y2 = _dct2_compact(stego_i.astype(jnp.bfloat16), pvr_ref[:],
@@ -913,17 +918,10 @@ def _embed_check_kernel(frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref,
     permitted).
     """
     delta = delta_ref[0]
-    x = _u8_to_f32(frames_ref[0])
-    ys = _dct2_compact(x, pvr_ref[:], bh_f_ref[:], w)
-
-    bits = _u8_to_f32(rows_ref[0])
-    valid = _qim_valid_compact(
-        lim_ref[0], lim_ref[1], stripe=stripe, w=w, w_real=w_real,
-        num_ac=num_ac, cap=cap, rn=rn, rp=rp,
-    )
-    dy = _qim_sparse_delta(ys, bits, valid, delta)
-    xd = _idct2_sparse(dy, pve_ref[:], bh_i_ref[:], w)
-    stego_i = jnp.clip(x + xd, 0.0, 255.0).astype(jnp.int32)  # truncating
+    _x, valid, bits, stego_i = _embed_core(
+        frames_ref, rows_ref, pvr_ref, pve_ref, bh_f_ref, bh_i_ref, delta,
+        lim_ref, stripe=stripe, w=w, w_real=w_real, num_ac=num_ac, cap=cap,
+        rn=rn, rp=rp)
     stego_ref[0] = stego_i.astype(jnp.uint8)
 
     y2 = _dct2_compact(stego_i.astype(jnp.bfloat16), pvr_ref[:],

@@ -108,15 +108,16 @@ def product_mesh(spec: str, devices=None) -> Mesh:
     n_data, n_space = parse_mesh_spec(spec)
     devices = list(devices) if devices is not None else jax.devices()
     if n_data * n_space > len(devices):
+        plat = devices[0].platform if devices else "none"
         raise ValueError(
             f"mesh {spec!r} needs {n_data * n_space} devices but only "
-            f"{len(devices)} are available ({devices[0].platform}); on CPU, "
+            f"{len(devices)} are available ({plat}); on CPU, "
             "raise the count with --host-devices N"
         )
     return make_mesh(n_data, n_space, devices)
 
 
-def _shard_offsets(b_l: int, h_l: int, w_l: int, num_ac: int, n_space: int,
+def _shard_offsets(h_l: int, w_l: int, num_ac: int, n_space: int,
                    block: int):
     """Per-shard payload geometry: (stripe capacity, full-frame capacity)."""
     cap_stripe = (h_l // block) * (w_l // block) * num_ac
@@ -136,8 +137,17 @@ def _embed_local(frames, payload, total_bits, delta, *, num_ac, n_space, block,
     di = jax.lax.axis_index("data")
     si = jax.lax.axis_index("space")
     b_l, h_l, w_l = frames.shape
-    cap_stripe, cap_frame = _shard_offsets(b_l, h_l, w_l, num_ac, n_space, block)
+    cap_stripe, cap_frame = _shard_offsets(h_l, w_l, num_ac, n_space, block)
     embed_fn, _ = _kernel_fns(kernel, precision)
+
+    if n_space == 1:
+        # full-frame shards: cap_frame == cap_stripe, so the kernel's
+        # internal f*cap stride IS the global stride and one batched call
+        # reproduces the per-frame scan bit-for-bit — without discarding
+        # the batch amortization the kernels are tuned for (the scan
+        # issues b_l single-frame launches)
+        return embed_fn(frames, payload, total_bits, delta, num_ac,
+                        bit_offset=di * b_l * cap_frame)
 
     def one(f, _):
         offset = (di * b_l + f) * cap_frame + si * cap_stripe
@@ -217,7 +227,7 @@ def sharded_roundtrip_step(mesh: Mesh, num_ac: int, block: int = BLOCK,
         si = jax.lax.axis_index("space")
         b_l, h_l, w_l = frames.shape
         cap_stripe, cap_frame = _shard_offsets(
-            b_l, h_l, w_l, num_ac, n_space, block
+            h_l, w_l, num_ac, n_space, block
         )
         stego, bpf = _embed_local(
             frames, payload, total_bits, delta,

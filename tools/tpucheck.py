@@ -65,7 +65,7 @@ def main() -> None:
     backend = jax.default_backend()
     rng = np.random.default_rng(42)
 
-    # config tuples: (batch, h, w, num_ac, deltas, precision)
+    # config tuples: (batch, h, w, num_ac, deltas, precision[, content])
     if args.quick:
         configs = [(4, 240, 384, 10, [20.0], "wire"),
                    (4, 240, 384, 10, [20.0], "fast")]
@@ -95,6 +95,16 @@ def main() -> None:
         configs.append((4, 1080, 1920, 10, [8.0, 12.0, 20.0, 30.0, 40.0,
                                             50.0], "fast"))
         configs.append((2, 2160, 3840, 10, [12.0, 20.0], "fast"))
+        # COMPRESSED covers at the small-delta robust edge: lossy-codec
+        # coefficient structure gives tight boundary distances — the
+        # content class where the r5 single-pass-bf16 INVERSE bug flipped
+        # ~1e-4 of bits while uniform-random covers sailed through
+        # (exactness.check_config docstring); the robust BER gate catches
+        # that regression class directly
+        configs.append((4, 1080, 1920, 10, [8.0, 12.0, 20.0], "wire",
+                        "compressed"))
+        configs.append((4, 1080, 1920, 10, [12.0, 20.0], "fast",
+                        "compressed"))
 
     # resumable across tunnel stalls: completed configs persist in the
     # artifact and are skipped on re-run (the jit cache makes their
@@ -109,20 +119,26 @@ def main() -> None:
         except (ValueError, KeyError):
             rows = []
     done = {(r["h"], r["w"], r["num_ac"], r["delta"],
-             r.get("precision", "wire")) for r in rows}
+             r.get("precision", "wire"), r.get("content", "noise"))
+            for r in rows}
 
     def flush(rows):
         out_path.write_text(json.dumps(
             {"summary": {"backend": backend, "partial": True}, "rows": rows},
             indent=1) + "\n")
 
-    for (b, h, w, num_ac, deltas, precision) in configs:
-        todo = [d for d in deltas if (h, w, num_ac, d, precision) not in done]
+    for cfg in configs:
+        (b, h, w, num_ac, deltas, precision), content = cfg[:6], (
+            cfg[6] if len(cfg) > 6 else "noise")
+        todo = [d for d in deltas
+                if (h, w, num_ac, d, precision, content) not in done]
         if not todo:
             continue
         print(f"# config b={b} {w}x{h} num_ac={num_ac} precision={precision}"
-              f" (backend={backend})", file=sys.stderr, flush=True)
-        new = check_config(b, h, w, num_ac, todo, rng, precision=precision)
+              f" content={content} (backend={backend})",
+              file=sys.stderr, flush=True)
+        new = check_config(b, h, w, num_ac, todo, rng, precision=precision,
+                           content=content)
         for r in new:
             r["backend"] = backend
         rows.extend(new)
